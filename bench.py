@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark: HyDia (approach 5) encrypted membership query on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: reference server membership computation time at the same DB size
+on a 48-core Xeon (BASELINE.md, tools/figures/approach5.csv).
+
+Env knobs:
+  BENCH_LOG2N   log2 of DB size (default 13)
+  BENCH_RING    ring dimension (default 32768)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Reference HyDia membership seconds by log2(DB size) — BASELINE.md table.
+REF_MEMBERSHIP = {10: 5.89, 11: 4.46, 12: 4.54, 13: 4.49, 14: 4.52,
+                  15: 6.16, 16: 9.56, 17: 16.01, 18: 28.73, 19: 53.25,
+                  20: 102.41}
+
+
+def main():
+    log2n = int(os.environ.get("BENCH_LOG2N", "13"))
+    ring = int(os.environ.get("BENCH_RING", "32768"))
+    n = 1 << log2n
+
+    import jax
+    from image_matching_tpu.ckks.params import SchemeParams, compute_required_depth
+    from image_matching_tpu.matching.config import MatchConfig
+    from image_matching_tpu.matching.protocol import MatchingProtocol
+    from image_matching_tpu.utils import io as dio
+
+    cfg = MatchConfig()
+    depth = compute_required_depth(5, cfg.comp_depth, cfg.alpha_depth)
+    params = SchemeParams.create(
+        ring_dim=ring, mult_depth=depth,
+        security="128c" if ring >= 32768 else "none",
+    )
+    query, db = dio.gen_dataset(n, cfg.vector_dim, seed=0)
+
+    t0 = time.time()
+    proto = MatchingProtocol.setup(5, db, cfg, params=params, seed=0)
+    print(f"# setup+enroll: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    qcts = proto.encrypt_query(query)
+    jax.block_until_ready([c.data for c in qcts])
+
+    # compile + warmup
+    t0 = time.time()
+    mem = proto.sender.run_membership(qcts)
+    jax.block_until_ready(mem.data)
+    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    mem = proto.sender.run_membership(qcts)
+    jax.block_until_ready(mem.data)
+    elapsed = time.time() - t0
+
+    ok = proto.decrypt_membership(mem)
+    print(f"# membership result (expect True): {ok}", file=sys.stderr)
+
+    ref = REF_MEMBERSHIP.get(log2n)
+    vs = (ref / elapsed) if ref else 0.0
+    print(json.dumps({
+        "metric": f"hydia_membership_2^{log2n}_server_compute",
+        "value": round(elapsed, 4),
+        "unit": "seconds",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

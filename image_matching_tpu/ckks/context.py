@@ -1,0 +1,802 @@
+"""CKKS crypto context: key generation, encryption, and the homomorphic
+evaluator, all TPU-native.
+
+Replaces the reference's use of OpenFHE (CryptoContext<DCRTPoly>, reference
+src/main.cpp:169-207 for setup/keygen; every EvalMult/EvalRotate/Rescale
+call in src/sender/*.cpp and src/openFHE_wrapper.cpp).  Everything on the
+device is uint32 RNS in Montgomery form, evaluation (NTT) domain.
+
+Key-switching is the hybrid (Han-Ki) scheme with `dnum` digits over the
+full RNS basis.  The gadget vector g_j is congruent to delta_{ij} modulo
+every ciphertext prime, so one key set serves every level; the ciphertext
+side extends its digit only over the limbs present at its level.
+
+Scale management: every ciphertext carries an exact float64 scale.  Adds
+require exactly matching scales; `align_to` retargets a ciphertext to any
+(limbs, scale) pair using a spare level (multiply by 1.0 encoded at the
+correcting scale, then rescale).  Plaintext constants are always encoded at
+the exact scale the consuming operation requires, so there is no FIXEDMANUAL
+scale drift even with 28-bit primes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import modmath as mm
+from ..ops.ntt import NttPlan, host_ntt_fwd
+from . import encoding
+from .params import SchemeParams, root_of_unity
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Ciphertext:
+    """RNS-CKKS ciphertext: data [k, l, N] (k components, l limbs) in
+    Montgomery/eval form.  `scale` is exact static metadata."""
+
+    data: jnp.ndarray
+    scale: float
+
+    @property
+    def limbs(self) -> int:
+        return self.data.shape[-2]
+
+    @property
+    def ncomp(self) -> int:
+        return self.data.shape[-3]
+
+    def tree_flatten(self):
+        return (self.data,), (self.scale,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+
+@dataclasses.dataclass
+class Plaintext:
+    data: jnp.ndarray  # [l, N] eval Montgomery
+    scale: float
+
+
+def _sample_gauss(rng, n, sigma):
+    return np.rint(rng.normal(0.0, sigma, size=n)).astype(np.int64)
+
+
+def _sample_ternary(rng, n):
+    return rng.integers(-1, 2, size=n).astype(np.int64)
+
+
+class CkksContext:
+    """Scheme context + evaluator.  One instance per parameter set."""
+
+    def __init__(self, params: SchemeParams, seed: int = 0):
+        self.params = params
+        n = params.ring_dim
+        self.n = n
+        self.slots = params.slots
+        self.Lq = params.num_limbs
+        self.S = params.num_special
+        self.all_primes: Tuple[int, ...] = params.q_primes + params.sp_primes
+        self.Ltot = len(self.all_primes)
+        roots = [root_of_unity(q, 2 * n) for q in self.all_primes]
+        self.plan = NttPlan(n, self.all_primes, roots)
+
+        # per-prime device constants
+        qs = np.array(self.all_primes, dtype=np.uint32)
+        consts = [mm.host_mont_constants(int(q)) for q in self.all_primes]
+        self.q_np = qs
+        self.qs = jnp.asarray(qs)
+        self.qneg = jnp.asarray(np.array([c[0] for c in consts], dtype=np.uint32))
+        self.r2 = jnp.asarray(np.array([c[2] for c in consts], dtype=np.uint32))
+        self.pow16 = jnp.asarray(
+            np.stack([mm.host_pow16_mont(int(q)) for q in self.all_primes], axis=1)
+        )  # [4, Ltot]
+
+        # digit partition over full Q basis
+        g0 = math.ceil(self.Lq / params.dnum)
+        self.groups: List[List[int]] = [
+            list(range(j * g0, min((j + 1) * g0, self.Lq)))
+            for j in range(params.dnum)
+            if j * g0 < self.Lq
+        ]
+        self.dnum = len(self.groups)
+
+        self._rng = np.random.default_rng(seed)
+        self._keygen()
+        self.rot_keys: Dict[int, jnp.ndarray] = {}
+        self._pt_cache: Dict = {}
+        self._fbc_cache: Dict = {}
+
+    # ------------------------------------------------------------------
+    # constant helpers
+    # ------------------------------------------------------------------
+
+    def _qrow(self, limbs: Sequence[int]):
+        """Per-limb constant views [l, 1] for the given limb indices."""
+        idx = np.asarray(list(limbs), dtype=np.int32)
+        return (
+            self.qs[idx][:, None],
+            self.qneg[idx][:, None],
+        )
+
+    @property
+    def fresh_scale(self) -> float:
+        """Scale for fresh encryptions: sqrt(Delta * q_top * q_top2) when
+        fresh_levels == 1 (so two rescales after the first ct*ct product
+        land exactly on Delta), else Delta."""
+        p = self.params
+        if p.fresh_levels == 1:
+            return math.sqrt(
+                p.scale * self.all_primes[self.Lq - 1] * self.all_primes[self.Lq - 2]
+            )
+        return p.scale
+
+    def rescale_score(self, ct: Ciphertext) -> Ciphertext:
+        """Rescale after a product of two fresh ciphertexts: 1+fresh_levels
+        rescales, landing the scale back on ~Delta."""
+        for _ in range(1 + self.params.fresh_levels):
+            ct = self.rescale(ct)
+        return ct
+
+    def q_limbs(self, l: int) -> Tuple[int, ...]:
+        return tuple(range(l))
+
+    def sp_limbs(self) -> Tuple[int, ...]:
+        return tuple(range(self.Lq, self.Ltot))
+
+    def ext_limbs(self, l: int) -> Tuple[int, ...]:
+        return tuple(range(l)) + self.sp_limbs()
+
+    # ------------------------------------------------------------------
+    # key generation (host side, numpy/python ints)
+    # ------------------------------------------------------------------
+
+    def _host_rns_eval(self, coeffs: np.ndarray, limb_ids: Sequence[int]) -> np.ndarray:
+        """signed coeffs [n] -> eval-domain standard residues uint64 [L, n]."""
+        out = np.empty((len(limb_ids), self.n), dtype=np.uint64)
+        for row, i in enumerate(limb_ids):
+            q = self.all_primes[i]
+            psis = np.asarray(self.plan.psis[i])
+            res = np.mod(coeffs, q).astype(np.uint64)
+            out[row] = host_ntt_fwd(res, q, psis)
+        return out
+
+    def _to_mont_dev(self, std: np.ndarray, limb_ids: Sequence[int]) -> jnp.ndarray:
+        rows = []
+        for row, i in enumerate(limb_ids):
+            rows.append(mm.host_to_mont(std[row].astype(np.uint32), self.all_primes[i]))
+        return jnp.asarray(np.stack(rows))
+
+    def _keygen(self):
+        n, rng = self.n, self._rng
+        p = self.params
+        self._s_coeffs = _sample_ternary(rng, n)
+        s_eval = self._host_rns_eval(self._s_coeffs, range(self.Ltot))
+        self._s_eval_std = s_eval  # standard form, host, for key gen
+        self.s_eval = self._to_mont_dev(s_eval, range(self.Ltot))
+
+        # public key over Q basis
+        a = np.stack(
+            [
+                rng.integers(0, q, size=n, dtype=np.uint64)
+                for q in self.all_primes[: self.Lq]
+            ]
+        )
+        e = self._host_rns_eval(_sample_gauss(rng, n, p.sigma), range(self.Lq))
+        b = np.empty_like(a)
+        for i, q in enumerate(self.all_primes[: self.Lq]):
+            b[i] = (q - a[i] * s_eval[i] % q + e[i]) % q
+        self.pk_b = self._to_mont_dev(b, range(self.Lq))
+        self.pk_a = self._to_mont_dev(a, range(self.Lq))
+
+        # relinearization key: KSK for s^2
+        s2_eval = np.empty_like(s_eval)
+        for i, q in enumerate(self.all_primes):
+            s2_eval[i] = s_eval[i] * s_eval[i] % q
+        self.relin_key = self._gen_ksk(s2_eval)
+
+    def _gen_ksk(self, sp_eval_std: np.ndarray) -> jnp.ndarray:
+        """Key-switching key for target secret s' (eval std [Ltot, n]):
+        ksk[j] = (b_j, a_j) with b_j = -a_j s + e_j + P*g_j*s' (mod QP).
+        Returns mont device array [dnum, 2, Ltot, N]."""
+        n, rng = self.n, self._rng
+        P = 1
+        for q in self.params.sp_primes:
+            P *= q
+        Qfull = 1
+        for q in self.params.q_primes:
+            Qfull *= q
+        ksk = np.empty((self.dnum, 2, self.Ltot, n), dtype=np.uint64)
+        for j, grp in enumerate(self.groups):
+            Qj = 1
+            for i in grp:
+                Qj *= self.all_primes[i]
+            Qhat = Qfull // Qj
+            t = pow(Qhat % Qj, -1, Qj)
+            a = np.stack(
+                [rng.integers(0, q, size=n, dtype=np.uint64) for q in self.all_primes]
+            )
+            e = self._host_rns_eval(_sample_gauss(rng, n, self.params.sigma), range(self.Ltot))
+            for i, q in enumerate(self.all_primes):
+                fac = (P * Qhat * t) % q  # == P mod q for i in grp; 0 for specials
+                b = (q - a[i] * self._s_eval_std[i] % q + e[i]) % q
+                b = (b + fac * sp_eval_std[i]) % q
+                ksk[j, 0, i] = b
+                ksk[j, 1, i] = a[i]
+        rows = []
+        for c in range(2):
+            rows.append(
+                np.stack(
+                    [
+                        np.stack(
+                            [
+                                mm.host_to_mont(
+                                    ksk[j, c, i].astype(np.uint32), self.all_primes[i]
+                                )
+                                for i in range(self.Ltot)
+                            ]
+                        )
+                        for j in range(self.dnum)
+                    ]
+                )
+            )
+        return jnp.asarray(np.stack(rows, axis=1))
+
+    def rotation_galois(self, r: int) -> int:
+        """Galois element for EvalRotate(ct, r): left-rotate slots by r."""
+        return pow(5, r % self.slots, 2 * self.n)
+
+    def gen_rotation_keys(self, rotations: Sequence[int]):
+        for r in rotations:
+            g = self.rotation_galois(r)
+            if g in self.rot_keys or g == 1:
+                continue
+            perm = np.asarray(self.plan.auto_perm(g))
+            s_rot = self._s_eval_std[:, perm]
+            self.rot_keys[g] = self._gen_ksk(s_rot)
+
+    def gen_power_of_two_rotation_keys(self):
+        """Keys for +-2^k — the reference's binaryRotate key policy
+        (src/main.cpp:195-206)."""
+        rots = []
+        i = 1
+        while i < self.slots:
+            rots += [i, -i]
+            i *= 2
+        self.gen_rotation_keys(rots)
+
+    # ------------------------------------------------------------------
+    # encoding / encryption (host <-> device boundary)
+    # ------------------------------------------------------------------
+
+    def encode(self, values: np.ndarray, limbs: int, scale: float) -> Plaintext:
+        """Encode slot values into an eval-domain Montgomery plaintext at
+        the given limb count and exact scale."""
+        coeffs = encoding.encode(np.asarray(values), self.n, scale)[0]
+        rns = encoding.to_rns(coeffs[None, :], [self.all_primes[i] for i in range(limbs)])[0]
+        dev = jnp.asarray(
+            np.stack(
+                [
+                    mm.host_to_mont(rns[i], self.all_primes[i])
+                    for i in range(limbs)
+                ]
+            )
+        )
+        dev = self.plan.fwd(dev, self.q_limbs(limbs))
+        return Plaintext(dev, scale)
+
+    def encode_cached(self, key, values, limbs: int, scale: float) -> Plaintext:
+        ck = (key, limbs, round(math.log2(scale) * 1e6))
+        if ck not in self._pt_cache:
+            self._pt_cache[ck] = self.encode(values, limbs, scale)
+        return self._pt_cache[ck]
+
+    def _fresh_noise(self, batch: int = 1):
+        """Sample host-side encryption randomness for `batch` ciphertexts:
+        (v, e0, e1) signed coeffs [batch, n]."""
+        rng = self._rng
+        v = np.stack([_sample_ternary(rng, self.n) for _ in range(batch)])
+        e0 = np.stack([_sample_gauss(rng, self.n, self.params.sigma) for _ in range(batch)])
+        e1 = np.stack([_sample_gauss(rng, self.n, self.params.sigma) for _ in range(batch)])
+        return v, e0, e1
+
+    def encrypt_batch(self, values: np.ndarray, limbs: Optional[int] = None,
+                      scale: Optional[float] = None) -> jnp.ndarray:
+        """Encrypt a batch of slot-value vectors [B, slots] -> ciphertext
+        data array [B, 2, l, N].  Heavy lifting (NTT, pk MACs) on device."""
+        values = np.atleast_2d(np.asarray(values, dtype=np.float64))
+        B = values.shape[0]
+        l = limbs if limbs is not None else self.Lq
+        sc = scale if scale is not None else self.fresh_scale
+        primes = [self.all_primes[i] for i in range(l)]
+        coeffs = encoding.encode(values, self.n, sc)  # [B, n]
+        m_rns = encoding.to_rns(coeffs, primes)  # [B, l, n] std
+        v, e0, e1 = self._fresh_noise(B)
+        v_rns = encoding.to_rns(v, primes)
+        e0_rns = encoding.to_rns(e0, primes)
+        e1_rns = encoding.to_rns(e1, primes)
+        return self._encrypt_dev(
+            jnp.asarray(m_rns), jnp.asarray(v_rns), jnp.asarray(e0_rns),
+            jnp.asarray(e1_rns), l
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def _encrypt_dev(self, m_rns, v_rns, e0_rns, e1_rns, l):
+        lim = self.q_limbs(l)
+        q, qneg = self._qrow(lim)
+        r2 = self.r2[np.asarray(lim, dtype=np.int32)][:, None]
+        to_mont = lambda x: mm.mont_mul(x, r2, q, qneg)
+        m = self.plan.fwd(to_mont(m_rns), lim)
+        v = self.plan.fwd(to_mont(v_rns), lim)
+        e0 = self.plan.fwd(to_mont(e0_rns), lim)
+        e1 = self.plan.fwd(to_mont(e1_rns), lim)
+        b = self.pk_b[:l]
+        a = self.pk_a[:l]
+        c0 = mm.mod_add(mm.mod_add(mm.mont_mul(b, v, q, qneg), e0, q), m, q)
+        c1 = mm.mod_add(mm.mont_mul(a, v, q, qneg), e1, q)
+        return jnp.stack([c0, c1], axis=-3)
+
+    def encrypt(self, values: np.ndarray, limbs: Optional[int] = None,
+                scale: Optional[float] = None) -> Ciphertext:
+        data = self.encrypt_batch(values, limbs, scale)[0]
+        return Ciphertext(data, scale if scale is not None else self.fresh_scale)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _decrypt_dev(self, data):
+        k, l = data.shape[-3], data.shape[-2]
+        lim = self.q_limbs(l)
+        q, qneg = self._qrow(lim)
+        s = self.s_eval[:l]
+        m = data[..., 0, :, :]
+        spow = s
+        for i in range(1, k):
+            m = mm.mod_add(m, mm.mont_mul(data[..., i, :, :], spow, q, qneg), q)
+            if i + 1 < k:
+                spow = mm.mont_mul(spow, s, q, qneg)
+        coeff_mont = self.plan.inv(m, lim)
+        # from Montgomery: REDC(x) = mont_mul(x, 1)
+        one = jnp.ones((l, 1), dtype=jnp.uint32)
+        return mm.mont_mul(coeff_mont, one, q, qneg)
+
+    def decrypt_coeffs(self, ct: Ciphertext) -> np.ndarray:
+        """-> centered float64 coefficient vector [n]."""
+        std = np.asarray(self._decrypt_dev(ct.data))
+        primes = [self.all_primes[i] for i in range(ct.limbs)]
+        return encoding.from_rns_centered(std[None, ...], primes)[0]
+
+    def decrypt(self, ct: Ciphertext, num_slots: Optional[int] = None) -> np.ndarray:
+        coeffs = self.decrypt_coeffs(ct)
+        return encoding.decode(coeffs, self.n, ct.scale, num_slots)
+
+    # ------------------------------------------------------------------
+    # basic homomorphic ops
+    # ------------------------------------------------------------------
+
+    def _check_scales(self, a: float, b: float):
+        if abs(math.log2(a) - math.log2(b)) > 1e-6:
+            raise ValueError(f"scale mismatch: {a} vs {b}; use align_to")
+
+    def add(self, x: Ciphertext, y: Ciphertext) -> Ciphertext:
+        l = min(x.limbs, y.limbs)
+        x, y = self.drop_to(x, l), self.drop_to(y, l)
+        self._check_scales(x.scale, y.scale)
+        q, _ = self._qrow(self.q_limbs(l))
+        kx, ky = x.ncomp, y.ncomp
+        if kx == ky:
+            return Ciphertext(mm.mod_add(x.data, y.data, q), x.scale)
+        big, small = (x, y) if kx > ky else (y, x)
+        head = mm.mod_add(big.data[: small.ncomp], small.data, q)
+        return Ciphertext(
+            jnp.concatenate([head, big.data[small.ncomp :]], axis=0), x.scale
+        )
+
+    def sub(self, x: Ciphertext, y: Ciphertext) -> Ciphertext:
+        return self.add(x, self.neg(y))
+
+    def neg(self, x: Ciphertext) -> Ciphertext:
+        q, _ = self._qrow(self.q_limbs(x.limbs))
+        return Ciphertext(mm.mod_neg(x.data, q), x.scale)
+
+    def add_scalar(self, x: Ciphertext, c: float) -> Ciphertext:
+        """Add constant c to every slot: constant polynomial, exact at the
+        ciphertext's scale."""
+        l = x.limbs
+        val = int(round(c * x.scale))
+        consts = np.array(
+            [
+                mm.host_to_mont(
+                    np.array(val % self.all_primes[i], dtype=np.uint32),
+                    self.all_primes[i],
+                )
+                for i in range(l)
+            ],
+            dtype=np.uint32,
+        )[:, None]
+        q, _ = self._qrow(self.q_limbs(l))
+        c0 = mm.mod_add(x.data[0], jnp.asarray(consts), q)
+        return Ciphertext(
+            jnp.concatenate([c0[None], x.data[1:]], axis=0), x.scale
+        )
+
+    def mul_scalar_int(self, x: Ciphertext, k: int) -> Ciphertext:
+        """Exact multiply by a (small) integer; no level, no scale change."""
+        l = x.limbs
+        consts = np.array(
+            [
+                mm.host_to_mont(
+                    np.array(k % self.all_primes[i], dtype=np.uint32), self.all_primes[i]
+                )
+                for i in range(l)
+            ],
+            dtype=np.uint32,
+        )[:, None]
+        q, qneg = self._qrow(self.q_limbs(l))
+        # mont constant: mont_mul(x_mont, k*R) = x*k*R? k stored std -> need
+        # (k*R mod q): host_to_mont gives exactly that.
+        return Ciphertext(
+            mm.mont_mul(x.data, jnp.asarray(consts)[None], q, qneg), x.scale
+        )
+
+    def mul_plain(self, x: Ciphertext, pt: Plaintext) -> Ciphertext:
+        if pt.data.shape[-2] < x.limbs:
+            x = self.drop_to(x, pt.data.shape[-2])
+        l = x.limbs
+        q, qneg = self._qrow(self.q_limbs(l))
+        return Ciphertext(
+            mm.mont_mul(x.data, pt.data[None, :l], q, qneg), x.scale * pt.scale
+        )
+
+    def mul_scalar(self, x: Ciphertext, c: float, pt_scale: float) -> Ciphertext:
+        """Multiply every slot by real constant c encoded at pt_scale (a
+        constant polynomial — no encoding FFT needed)."""
+        l = x.limbs
+        val = int(round(c * pt_scale))
+        consts = np.array(
+            [
+                mm.host_to_mont(
+                    np.array(val % self.all_primes[i], dtype=np.uint32),
+                    self.all_primes[i],
+                )
+                for i in range(l)
+            ],
+            dtype=np.uint32,
+        )[:, None]
+        q, qneg = self._qrow(self.q_limbs(l))
+        return Ciphertext(
+            mm.mont_mul(x.data, jnp.asarray(consts)[None], q, qneg),
+            x.scale * pt_scale,
+        )
+
+    def mul(self, x: Ciphertext, y: Ciphertext) -> Ciphertext:
+        """Tensor product without relinearization (EvalMultNoRelin,
+        the hot op of every sender: e.g. reference src/sender/sender_diag.cpp:93)."""
+        assert x.ncomp == 2 and y.ncomp == 2, "relinearize first"
+        l = min(x.limbs, y.limbs)
+        x, y = self.drop_to(x, l), self.drop_to(y, l)
+        q, qneg = self._qrow(self.q_limbs(l))
+        x0, x1 = x.data[0], x.data[1]
+        y0, y1 = y.data[0], y.data[1]
+        c0 = mm.mont_mul(x0, y0, q, qneg)
+        c1 = mm.mod_add(
+            mm.mont_mul(x0, y1, q, qneg), mm.mont_mul(x1, y0, q, qneg), q
+        )
+        c2 = mm.mont_mul(x1, y1, q, qneg)
+        return Ciphertext(jnp.stack([c0, c1, c2]), x.scale * y.scale)
+
+    def square(self, x: Ciphertext) -> Ciphertext:
+        assert x.ncomp == 2
+        l = x.limbs
+        q, qneg = self._qrow(self.q_limbs(l))
+        x0, x1 = x.data[0], x.data[1]
+        c0 = mm.mont_mul(x0, x0, q, qneg)
+        m = mm.mont_mul(x0, x1, q, qneg)
+        c1 = mm.mod_add(m, m, q)
+        c2 = mm.mont_mul(x1, x1, q, qneg)
+        return Ciphertext(jnp.stack([c0, c1, c2]), x.scale * x.scale)
+
+    def drop_to(self, x: Ciphertext, l: int) -> Ciphertext:
+        """Free modulus reduction: drop top limbs (scale unchanged)."""
+        if x.limbs == l:
+            return x
+        assert x.limbs > l
+        return Ciphertext(x.data[:, :l, :], x.scale)
+
+    def rescale(self, x: Ciphertext) -> Ciphertext:
+        """Divide by the top prime (FIXEDMANUAL RescaleInPlace)."""
+        l = x.limbs
+        assert l >= 2, "cannot rescale below guard level"
+        qt = int(self.all_primes[l - 1])
+        lim_rest = self.q_limbs(l - 1)
+        q, qneg = self._qrow(lim_rest)
+        r2 = self.r2[np.asarray(lim_rest, dtype=np.int32)][:, None]
+        qt_u = jnp.uint32(qt)
+        # top limb -> coeff std
+        top = x.data[:, l - 1 : l, :]
+        top_c = self.plan.inv(top, (l - 1,))
+        one = jnp.ones((1, 1), dtype=jnp.uint32)
+        qrow_t, qneg_t = self._qrow((l - 1,))
+        top_std = mm.mont_mul(top_c, one, qrow_t, qneg_t)  # [k,1,N] std < qt
+        # centered transfer mod each remaining prime
+        half = jnp.uint32(qt // 2)
+        pos = mm.reduce_small(top_std, q)  # broadcast [k, l-1, N]
+        negv = mm.mod_neg(mm.reduce_small(qt_u - top_std, q), q)
+        t_std = jnp.where(top_std <= half, pos, negv)
+        t_mont = mm.mont_mul(t_std, r2, q, qneg)
+        t_eval = self.plan.fwd(t_mont, lim_rest)
+        diff = mm.mod_sub(x.data[:, : l - 1, :], t_eval, q)
+        qtinv = np.array(
+            [
+                pow(qt, -1, self.all_primes[i]) * ((1 << 32) % self.all_primes[i])
+                % self.all_primes[i]
+                for i in range(l - 1)
+            ],
+            dtype=np.uint32,
+        )[:, None]
+        out = mm.mont_mul(diff, jnp.asarray(qtinv), q, qneg)
+        return Ciphertext(out, x.scale / qt)
+
+    # ------------------------------------------------------------------
+    # key switching
+    # ------------------------------------------------------------------
+
+    def _fbc_consts(self, src: Tuple[int, ...], dst: Tuple[int, ...]):
+        """Fast-base-conversion constants from source primes to target
+        primes (limb indices into all_primes)."""
+        key = (src, dst)
+        if key in self._fbc_cache:
+            return self._fbc_cache[key]
+        R = 1 << 32
+        src_p = [self.all_primes[i] for i in src]
+        dst_p = [self.all_primes[i] for i in dst]
+        QG = 1
+        for q in src_p:
+            QG *= q
+        t_std = np.array(
+            [
+                pow((QG // q) % q, -1, q)
+                for q in src_p
+            ],
+            dtype=np.uint32,
+        )[:, None]  # standard-form multiplier: y_i = x_i * t_i
+        qhat = np.array(
+            [[(QG // sq) * R * R % dq for dq in dst_p] for sq in src_p],
+            dtype=np.uint32,
+        )  # [g, t]: (Qhat_i * R^2) mod p
+        qg_r2 = np.array([QG * R * R % dq for dq in dst_p], dtype=np.uint32)[:, None]
+        inv_q = np.array([1.0 / q for q in src_p], dtype=np.float32)[:, None]
+        out = (
+            jnp.asarray(t_std),
+            jnp.asarray(qhat),
+            jnp.asarray(qg_r2),
+            jnp.asarray(inv_q),
+        )
+        self._fbc_cache[key] = out
+        return out
+
+    def _fbc(self, x_mont: jnp.ndarray, src: Tuple[int, ...], dst: Tuple[int, ...]):
+        """Fast base conversion of coeff-domain Montgomery residues
+        [..., g, N] (basis src) -> [..., t, N] (basis dst), approximate
+        (±1 multiple of Q_src, standard for hybrid key switching)."""
+        t_std, qhat, qg_r2, inv_q = self._fbc_consts(src, dst)
+        qs, qnegs = self._qrow(src)
+        qd, qnegd = self._qrow(dst)
+        y = mm.mont_mul(x_mont, t_std, qs, qnegs)  # standard form, [.., g, N]
+        v = jnp.round(jnp.sum(y.astype(jnp.float32) * inv_q, axis=-2)).astype(
+            jnp.uint32
+        )  # [.., N]
+        # out[p] = sum_i y_i * qhat[i, p] - v * QG   (all Montgomery mod p)
+        g = len(src)
+        acc = None
+        for i in range(g):
+            term = mm.mont_mul(
+                y[..., i : i + 1, :], qhat[i][:, None], qd, qnegd
+            )  # [.., t, N]
+            acc = term if acc is None else mm.mod_add(acc, term, qd)
+        corr = mm.mont_mul(v[..., None, :], qg_r2, qd, qnegd)
+        return mm.mod_sub(acc, corr, qd)
+
+    def _decompose_extended(self, poly_eval: jnp.ndarray, l: int) -> jnp.ndarray:
+        """Hoisting precompute: digit-decompose an eval-domain poly [l, N]
+        and extend every digit to the full current basis Q_l + P.
+        Returns [ndig, l + S, N] eval Montgomery."""
+        lim = self.q_limbs(l)
+        coeff = self.plan.inv(poly_eval, lim)
+        ext = self.ext_limbs(l)
+        digs = []
+        for grp in self.groups:
+            g = [i for i in grp if i < l]
+            if not g:
+                continue
+            x = coeff[g, :]
+            other = tuple(i for i in ext if i not in g)
+            conv = self._fbc(x, tuple(g), other)
+            # reassemble rows in ext order: own rows copied exactly
+            rows = []
+            ci = 0
+            for i in ext:
+                if i in g:
+                    rows.append(x[g.index(i)])
+                else:
+                    rows.append(conv[ci])
+                    ci += 1
+            dig = jnp.stack(rows)
+            digs.append(self.plan.fwd(dig, ext))
+        return jnp.stack(digs)
+
+    def _ksk_rows(self, ksk: jnp.ndarray, l: int) -> jnp.ndarray:
+        return jnp.concatenate([ksk[:, :, :l], ksk[:, :, self.Lq :]], axis=2)
+
+    def _moddown(self, comp: jnp.ndarray, l: int) -> jnp.ndarray:
+        """[l + S, N] eval over Q_l + P -> [l, N] eval over Q_l, dividing
+        by P (with centered correction)."""
+        sp = self.sp_limbs()
+        lim = self.q_limbs(l)
+        part_p = comp[l:]
+        part_q = comp[:l]
+        cp = self.plan.inv(part_p, sp)
+        # centered FBC: shift by +P/2 before conversion, subtract after
+        P = 1
+        for q in self.params.sp_primes:
+            P *= q
+        qsp, qnegsp = self._qrow(sp)
+        half_rows = np.array(
+            [
+                mm.host_to_mont(
+                    np.array((P // 2) % self.all_primes[i], dtype=np.uint32),
+                    self.all_primes[i],
+                )
+                for i in sp
+            ],
+            dtype=np.uint32,
+        )[:, None]
+        cp_shift = mm.mod_add(cp, jnp.asarray(half_rows), qsp)
+        conv = self._fbc(cp_shift, sp, lim)
+        qd, qnegd = self._qrow(lim)
+        halfq = np.array(
+            [
+                mm.host_to_mont(
+                    np.array((P // 2) % self.all_primes[i], dtype=np.uint32),
+                    self.all_primes[i],
+                )
+                for i in lim
+            ],
+            dtype=np.uint32,
+        )[:, None]
+        conv = mm.mod_sub(conv, jnp.asarray(halfq), qd)
+        conv_eval = self.plan.fwd(conv, lim)
+        diff = mm.mod_sub(part_q, conv_eval, qd)
+        pinv = np.array(
+            [
+                pow(P % self.all_primes[i], -1, self.all_primes[i])
+                * ((1 << 32) % self.all_primes[i])
+                % self.all_primes[i]
+                for i in lim
+            ],
+            dtype=np.uint32,
+        )[:, None]
+        return mm.mont_mul(diff, jnp.asarray(pinv), qd, qnegd)
+
+    def _keyswitch_digits(self, digs: jnp.ndarray, ksk: jnp.ndarray, l: int):
+        """digs [ndig, l+S, N] x ksk -> (d0, d1) each [l, N] over Q_l."""
+        rows = self._ksk_rows(ksk, l)  # [ndig, 2, l+S, N]
+        ext = self.ext_limbs(l)
+        q, qneg = self._qrow(ext)
+        acc0 = acc1 = None
+        for j in range(digs.shape[0]):
+            t0 = mm.mont_mul(digs[j], rows[j, 0], q, qneg)
+            t1 = mm.mont_mul(digs[j], rows[j, 1], q, qneg)
+            acc0 = t0 if acc0 is None else mm.mod_add(acc0, t0, q)
+            acc1 = t1 if acc1 is None else mm.mod_add(acc1, t1, q)
+        return self._moddown(acc0, l), self._moddown(acc1, l)
+
+    def keyswitch(self, poly_eval: jnp.ndarray, ksk: jnp.ndarray) -> Tuple:
+        l = poly_eval.shape[-2]
+        digs = self._decompose_extended(poly_eval, l)
+        return self._keyswitch_digits(digs, ksk, l)
+
+    def relinearize(self, x: Ciphertext) -> Ciphertext:
+        if x.ncomp == 2:
+            return x
+        assert x.ncomp == 3
+        l = x.limbs
+        d0, d1 = self.keyswitch(x.data[2], self.relin_key)
+        q, _ = self._qrow(self.q_limbs(l))
+        c0 = mm.mod_add(x.data[0], d0, q)
+        c1 = mm.mod_add(x.data[1], d1, q)
+        return Ciphertext(jnp.stack([c0, c1]), x.scale)
+
+    def mul_relin(self, x: Ciphertext, y: Ciphertext) -> Ciphertext:
+        return self.relinearize(self.mul(x, y))
+
+    # ------------------------------------------------------------------
+    # rotations
+    # ------------------------------------------------------------------
+
+    def _permute(self, data: jnp.ndarray, g: int) -> jnp.ndarray:
+        perm = self.plan.auto_perm(g)
+        return jnp.take(data, perm, axis=-1)
+
+    def rotate(self, x: Ciphertext, r: int) -> Ciphertext:
+        """EvalRotate: left-rotate slots by r (requires key for this r)."""
+        if r % self.slots == 0:
+            return x
+        g = self.rotation_galois(r)
+        if g not in self.rot_keys:
+            raise KeyError(f"no rotation key for r={r} (g={g})")
+        assert x.ncomp == 2
+        l = x.limbs
+        c0 = self._permute(x.data[0], g)
+        c1 = self._permute(x.data[1], g)
+        d0, d1 = self.keyswitch(c1, self.rot_keys[g])
+        q, _ = self._qrow(self.q_limbs(l))
+        return Ciphertext(jnp.stack([mm.mod_add(c0, d0, q), d1]), x.scale)
+
+    def binary_rotate(self, x: Ciphertext, r: int) -> Ciphertext:
+        """Arbitrary rotation via signed nearest-power-of-two steps using
+        only ±2^k keys (reference binaryRotate,
+        src/openFHE_wrapper.cpp:103-128)."""
+        factor = r
+        while factor != 0:
+            sign = 1 if factor > 0 else -1
+            step = 2 ** int(round(math.log2(abs(factor))))
+            cur = (step * sign) % self.slots
+            if cur != 0:
+                x = self.rotate(x, step * sign)
+            factor -= step * sign
+        return x
+
+    def hoisted_precompute(self, x: Ciphertext) -> jnp.ndarray:
+        """EvalFastRotationPrecompute: digit-decompose+extend c1 once."""
+        return self._decompose_extended(x.data[1], x.limbs)
+
+    def hoisted_rotate(self, x: Ciphertext, digs: jnp.ndarray, r: int) -> Ciphertext:
+        """EvalFastRotation using precomputed digits (reference
+        src/sender/sender_diag.cpp:22-26)."""
+        if r % self.slots == 0:
+            return x
+        g = self.rotation_galois(r)
+        l = x.limbs
+        pdigs = self._permute(digs, g)
+        d0, d1 = self._keyswitch_digits(pdigs, self.rot_keys[g], l)
+        c0 = self._permute(x.data[0], g)
+        q, _ = self._qrow(self.q_limbs(l))
+        return Ciphertext(jnp.stack([mm.mod_add(c0, d0, q), d1]), x.scale)
+
+    def eval_sum(self, x: Ciphertext, m: int) -> Ciphertext:
+        """Every slot j becomes sum of slots j..j+m-1 (cyclic): log2(m)
+        rotate-and-add steps (reference sumAllSlots / EvalSum)."""
+        i = 1
+        while i < m:
+            x = self.add(x, self.rotate(x, i))
+            i *= 2
+        return x
+
+    # ------------------------------------------------------------------
+    # scale alignment
+    # ------------------------------------------------------------------
+
+    def align_to(self, x: Ciphertext, limbs: int, scale: float) -> Ciphertext:
+        """Bring x to exactly (limbs, scale) using free limb drops and, if
+        the scale differs, one spare level (multiply by 1.0 at the
+        correcting scale, then rescale)."""
+        if x.limbs == limbs and abs(math.log2(x.scale / scale)) < 1e-9:
+            return x
+        if abs(math.log2(x.scale / scale)) < 1e-9:
+            return self.drop_to(x, limbs)
+        assert x.limbs > limbs, "no spare level for scale alignment"
+        x = self.drop_to(x, limbs + 1)
+        qt = int(self.all_primes[limbs])
+        sigma = scale * qt / x.scale
+        y = self.mul_scalar(x, 1.0, sigma)
+        y = self.rescale(y)
+        # exact by construction up to float rounding of sigma
+        return Ciphertext(y.data, scale)

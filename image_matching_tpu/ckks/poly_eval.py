@@ -1,0 +1,269 @@
+"""Homomorphic polynomial evaluation: Chebyshev series (Paterson-Stockmeyer
+over the Chebyshev basis) and power-basis polynomials, plus the hybrid
+sign/compare circuit.
+
+Mirrors the reference's use of OpenFHE EvalChebyshevFunction + EvalPoly in
+`chebyshevCompare` (reference src/openFHE_wrapper.cpp:142-185): a Chebyshev
+interpolation of the step function (steep near the threshold) composed with
+Cheon's f4 degree-9 polynomial (ia.cr/2019/1234; flattens near ±1), then a
++1 shift so match indicators sum additively.
+
+Depth consumption matches OpenFHE's budget: a degree-59 series costs 6
+levels, the degree-9 f4 costs 4 — 10 total = COMP_DEPTH.  Every addition in
+the recursion combines operands at exactly equal (limbs, scale) via the
+context's align_to, so there is no scale drift.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from .context import CkksContext, Ciphertext
+
+# Cheon et al. f4 composite-sign polynomial coefficients (power basis),
+# reference src/openFHE_wrapper.cpp:158-169.
+F4_COEFS = [
+    0.0, 315.0 / 128.0, 0.0, -420.0 / 128.0, 0.0,
+    378.0 / 128.0, 0.0, -180.0 / 128.0, 0.0, 35.0 / 128.0,
+]
+
+# signDepth -> Chebyshev degree (reference DEPTH_TO_DEGREE,
+# src/openFHE_wrapper.cpp:153-155, indexed by signDepth-4)
+DEPTH_TO_DEGREE = {7: 5, 8: 13, 9: 27, 10: 59, 11: 119, 12: 247,
+                   13: 495, 14: 1007, 15: 2031}
+
+
+def chebyshev_coefficients(f, degree: int, a: float = -1.0, b: float = 1.0) -> np.ndarray:
+    """Chebyshev interpolation coefficients of f on [a, b] at degree+1
+    Chebyshev nodes (same construction OpenFHE uses)."""
+    m = degree + 1
+    theta = (np.arange(m) + 0.5) * np.pi / m
+    x = np.cos(theta)
+    xs = 0.5 * (b - a) * x + 0.5 * (a + b)
+    fv = np.array([f(v) for v in xs], dtype=np.float64)
+    j = np.arange(m)[:, None]
+    c = (2.0 / m) * (fv[None, :] * np.cos(j * theta[None, :])).sum(axis=1)
+    c[0] *= 0.5
+    return c
+
+
+def _smart_add(ctx: CkksContext, x: Ciphertext, y: Ciphertext) -> Ciphertext:
+    """Add with automatic exact alignment of (limbs, scale)."""
+    if x.limbs == y.limbs and abs(math.log2(x.scale / y.scale)) < 1e-9:
+        return ctx.add(x, y)
+    if x.limbs == y.limbs:
+        # both need a spare level; align to one fewer limb at scheme scale
+        tgt = x.limbs - 1
+        sc = ctx.params.scale
+        return ctx.add(ctx.align_to(x, tgt, sc), ctx.align_to(y, tgt, sc))
+    deep, shallow = (x, y) if x.limbs < y.limbs else (y, x)
+    return ctx.add(deep, ctx.align_to(shallow, deep.limbs, deep.scale))
+
+
+class _ChebBasis:
+    """Builds T_1..T_k plus power-of-two giants from a ciphertext input."""
+
+    def __init__(self, ctx: CkksContext, x: Ciphertext, max_deg: int, k: int = 8):
+        self.ctx = ctx
+        self.T: Dict[int, Ciphertext] = {1: x}
+        k = min(k, max(2, max_deg))
+        for i in range(2, k + 1):
+            self._build(i)
+        self.baby_k = k
+        self.giants = []
+        g = k
+        while 2 * g <= max_deg:
+            self._double(g)
+            g *= 2
+            self.giants.append(g)
+
+    def _double(self, i: int):
+        ctx = self.ctx
+        t = ctx.rescale(ctx.relinearize(ctx.square(self.T[i])))
+        t = ctx.add(t, t)  # 2*T_i^2 (exact doubling, no level)
+        self.T[2 * i] = ctx.add_scalar(t, -1.0)
+
+    def _build(self, i: int):
+        ctx = self.ctx
+        if i in self.T:
+            return
+        if i % 2 == 0 and i // 2 in self.T:
+            self._double(i // 2)
+            return
+        # T_i = 2*T_a*T_b - T_{a-b} with a = ceil(i/2)+?: choose a,b close
+        a = (i + 1) // 2
+        b = i - a
+        ta, tb = self.T[a], self.T[b]
+        l = min(ta.limbs, tb.limbs)
+        prod = ctx.rescale(ctx.mul_relin(ctx.drop_to(ta, l), ctx.drop_to(tb, l)))
+        prod = ctx.add(prod, prod)  # 2 T_a T_b
+        if a == b:
+            self.T[i] = ctx.add_scalar(prod, -1.0)
+        else:
+            diff = self.T[a - b]
+            self.T[i] = _smart_add(ctx, prod, ctx.neg(diff))
+
+
+def _cheb_divmod(c: List[float], m: int):
+    """Divide a Chebyshev-basis polynomial by T_m:
+    c(x) = q(x) * T_m(x) + r(x), deg r < m."""
+    c = list(c)
+    d = len(c) - 1
+    q = [0.0] * (d - m + 1)
+    for i in range(d, m - 1, -1):
+        ci = c[i]
+        c[i] = 0.0
+        if ci == 0.0:
+            continue
+        if i == m:
+            q[0] += ci
+        else:
+            q[i - m] += 2.0 * ci
+            j = abs(i - 2 * m)
+            c[j] -= ci
+    return q, c[:m]
+
+
+def _combo(ctx: CkksContext, basis: Dict[int, Ciphertext], coeffs: Sequence[float]) -> Ciphertext:
+    """sum_i coeffs[i] * B_i + coeffs[0], all terms brought to one exact
+    (limbs, scale) target via per-term plaintext-scale choice."""
+    terms = [(i, c) for i, c in enumerate(coeffs) if i > 0 and abs(c) > 1e-13]
+    if not terms:
+        # constant polynomial: represent on the shallowest basis element
+        any_ct = basis[1]
+        z = ctx.mul_scalar(any_ct, 0.0, ctx.params.scale)
+        z = ctx.rescale(z)
+        return ctx.add_scalar(z, float(coeffs[0]) if coeffs else 0.0)
+    tgt_limbs = min(basis[i].limbs for i, _ in terms) - 1
+    tgt_scale = ctx.params.scale
+    out = None
+    for i, c in terms:
+        ti = ctx.drop_to(basis[i], tgt_limbs + 1)
+        qt = int(ctx.all_primes[tgt_limbs])
+        sigma = tgt_scale * qt / ti.scale
+        term = ctx.rescale(ctx.mul_scalar(ti, float(c), sigma))
+        term = Ciphertext(term.data, tgt_scale)  # exact by construction
+        out = term if out is None else ctx.add(out, term)
+    if len(coeffs) > 0 and abs(coeffs[0]) > 1e-13:
+        out = ctx.add_scalar(out, float(coeffs[0]))
+    return out
+
+
+def eval_chebyshev_series(ctx: CkksContext, x: Ciphertext, coeffs: Sequence[float]) -> Ciphertext:
+    """Evaluate sum c_i T_i(x) with Paterson-Stockmeyer recursion;
+    depth = ceil(log2(degree+1)) for power-of-two-straddling degrees."""
+    coeffs = list(np.asarray(coeffs, dtype=np.float64))
+    while len(coeffs) > 1 and abs(coeffs[-1]) < 1e-13:
+        coeffs.pop()
+    deg = len(coeffs) - 1
+    basis = _ChebBasis(ctx, x, deg)
+
+    def rec(c: List[float]) -> Ciphertext:
+        d = len(c) - 1
+        while d > 0 and abs(c[d]) < 1e-13:
+            c = c[:d]
+            d -= 1
+        if d <= basis.baby_k:
+            return _combo(ctx, basis.T, c)
+        m = basis.baby_k
+        for g in basis.giants:
+            if g <= d:
+                m = g
+        qc, rc = _cheb_divmod(c, m)
+        qq = rec(qc)
+        tm = basis.T[m]
+        l = min(qq.limbs, tm.limbs)
+        prod = ctx.rescale(ctx.mul_relin(ctx.drop_to(qq, l), ctx.drop_to(tm, l)))
+        rr = rec(rc)
+        return _smart_add(ctx, prod, rr)
+
+    return rec(coeffs)
+
+
+def eval_chebyshev_function(ctx: CkksContext, x: Ciphertext, f, degree: int,
+                            a: float = -1.0, b: float = 1.0) -> Ciphertext:
+    """OpenFHE EvalChebyshevFunction equivalent (a=-1, b=1 only for now —
+    the reference always uses [-1, 1], src/openFHE_wrapper.cpp:174)."""
+    assert a == -1.0 and b == 1.0, "general domain not needed by reference"
+    coeffs = chebyshev_coefficients(f, degree, a, b)
+    return eval_chebyshev_series(ctx, x, coeffs)
+
+
+class _PowerBasis:
+    """x, x^2, ..., x^k and power-of-two giants."""
+
+    def __init__(self, ctx: CkksContext, x: Ciphertext, max_deg: int, k: int = 4):
+        self.ctx = ctx
+        self.P: Dict[int, Ciphertext] = {1: x}
+        k = min(k, max(1, max_deg))
+        for i in range(2, k + 1):
+            self._build(i)
+        self.baby_k = k
+        self.giants = []
+        g = k
+        while 2 * g <= max_deg:
+            hi = self.P[g]
+            self.P[2 * g] = ctx.rescale(ctx.relinearize(ctx.square(hi)))
+            g *= 2
+            self.giants.append(g)
+
+    def _build(self, i: int):
+        ctx = self.ctx
+        if i % 2 == 0:
+            h = self.P[i // 2]
+            self.P[i] = ctx.rescale(ctx.relinearize(ctx.square(h)))
+        else:
+            a, b = self.P[i - 1], self.P[1]
+            l = min(a.limbs, b.limbs)
+            self.P[i] = ctx.rescale(
+                ctx.mul_relin(ctx.drop_to(a, l), ctx.drop_to(b, l))
+            )
+
+
+def eval_poly_ps(ctx: CkksContext, x: Ciphertext, coeffs: Sequence[float]) -> Ciphertext:
+    """Power-basis polynomial via Paterson-Stockmeyer (OpenFHE EvalPoly
+    equivalent; used for Cheon's f4, depth 4 at degree 9)."""
+    coeffs = list(np.asarray(coeffs, dtype=np.float64))
+    while len(coeffs) > 1 and abs(coeffs[-1]) < 1e-13:
+        coeffs.pop()
+    deg = len(coeffs) - 1
+    basis = _PowerBasis(ctx, x, deg)
+
+    def rec(c: List[float]) -> Ciphertext:
+        d = len(c) - 1
+        while d > 0 and abs(c[d]) < 1e-13:
+            c = c[:d]
+            d -= 1
+        if d <= basis.baby_k:
+            return _combo(ctx, basis.P, c)
+        m = basis.baby_k
+        for g in basis.giants:
+            if g <= d:
+                m = g
+        qc, rc = c[m:], c[:m]
+        qq = rec(list(qc))
+        pm = basis.P[m]
+        l = min(qq.limbs, pm.limbs)
+        prod = ctx.rescale(ctx.mul_relin(ctx.drop_to(qq, l), ctx.drop_to(pm, l)))
+        rr = rec(list(rc))
+        return _smart_add(ctx, prod, rr)
+
+    return rec(coeffs)
+
+
+def chebyshev_compare(ctx: CkksContext, x: Ciphertext, delta: float,
+                      sign_depth: int = 10) -> Ciphertext:
+    """Approximate x -> {2 if x >= delta, 0 otherwise} — the reference's
+    chebyshevCompare (src/openFHE_wrapper.cpp:142-185): Chebyshev step
+    approximation composed with Cheon's f4, then +1 so results add."""
+    if sign_depth < 7 or sign_depth > 15:
+        raise ValueError("chebyshevCompare requires depth in [7, 15]")
+    degree = DEPTH_TO_DEGREE[sign_depth]
+    y = eval_chebyshev_function(
+        ctx, x, lambda v: 1.0 if v >= delta else -1.0, degree
+    )
+    z = eval_poly_ps(ctx, y, F4_COEFS)
+    return ctx.add_scalar(z, 1.0)

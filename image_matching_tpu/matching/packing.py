@@ -1,0 +1,127 @@
+"""Slot-packing operations: order-preserving merge and order-permuting
+compression (reference src/openFHE_wrapper.cpp:188-312).
+
+Both repack scattered similarity scores into dense ciphertexts using
+plaintext masks (multiplicative levels) and rotate-adds.  Rotations with
+identical factors across many ciphertexts are batched with jax.vmap so the
+TPU executes one fused keyswitch over a stacked axis instead of a Python
+loop of small ops.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ckks.context import CkksContext, Ciphertext
+
+
+def merge_mask(ctx: CkksContext, dimension: int, segment: int, limbs: int,
+               scale: float):
+    """Mask with `segment` ones every dimension*segment slots (reference
+    generateMergeMask, src/openFHE_wrapper.cpp:253-268)."""
+    batch = ctx.slots
+    mask = np.zeros(batch)
+    i = 0
+    while i < batch:
+        mask[i : i + segment] = 1.0
+        i += dimension * segment
+    return ctx.encode_cached(("merge_mask", dimension, segment), mask, limbs, scale)
+
+
+def merge_single(ctx: CkksContext, ct: Ciphertext, dimension: int) -> Ciphertext:
+    """Pack every dimension-th slot to the front (reference
+    mergeSingleCipher, src/openFHE_wrapper.cpp:223-249).  Consumes 2 levels."""
+    batch = ctx.slots
+    output_size = batch // dimension
+    padding = 1
+    rot_factor = dimension - 1
+    i = 1
+    while i < output_size:
+        if i >= padding:
+            m = merge_mask(ctx, dimension, i, ct.limbs, ctx.params.scale)
+            ct = ctx.rescale(ctx.mul_plain(ct, m))
+            padding = i * dimension
+        ct = ctx.add(ct, ctx.binary_rotate(ct, rot_factor * i))
+        i *= 2
+    m = merge_mask(ctx, dimension, output_size, ct.limbs, ctx.params.scale)
+    return ctx.rescale(ctx.mul_plain(ct, m))
+
+
+def _batched(ctx: CkksContext, fn, cts: List[Ciphertext]) -> List[Ciphertext]:
+    """vmap a single-ciphertext op over a list of same-shape ciphertexts."""
+    if len(cts) == 1:
+        return [fn(cts[0])]
+    scale = cts[0].scale
+    stacked = jnp.stack([c.data for c in cts])
+    out_scale = [None]
+
+    def body(data):
+        out = fn(Ciphertext(data, scale))
+        out_scale[0] = out.scale
+        return out.data
+
+    res = jax.vmap(body)(stacked)
+    return [Ciphertext(res[i], out_scale[0]) for i in range(len(cts))]
+
+
+def merge_ciphers(ctx: CkksContext, cts: List[Ciphertext], dimension: int) -> List[Ciphertext]:
+    """Merge many ciphertexts' every-dimension-th slots into few dense
+    ciphertexts, order preserving (reference mergeCiphers,
+    src/openFHE_wrapper.cpp:191-218)."""
+    batch = ctx.slots
+    per = batch // dimension
+    out_n = math.ceil(per * len(cts) / batch)
+    merged = _batched(ctx, lambda c: merge_single(ctx, c, dimension), cts)
+    # group by rotation offset so equal rotations batch together
+    outs: List[Ciphertext] = [None] * out_n
+    by_rot = {}
+    for i, ct in enumerate(merged):
+        slot = (per * i) % batch
+        by_rot.setdefault(slot, []).append((i, ct))
+    for slot, items in by_rot.items():
+        if slot == 0:
+            rotated = [ct for _, ct in items]
+        else:
+            rotated = _batched(
+                ctx, lambda c: ctx.binary_rotate(c, -slot), [ct for _, ct in items]
+            )
+        for (i, _), r in zip(items, rotated):
+            oc = (per * i) // batch
+            outs[oc] = r if outs[oc] is None else ctx.add(outs[oc], r)
+    return outs
+
+
+def compress_ciphers(ctx: CkksContext, cts: List[Ciphertext], dimension: int) -> List[Ciphertext]:
+    """Blind-Match compression: keep every dimension-th slot, permuted
+    packing (reference compressCiphers, src/openFHE_wrapper.cpp:273-312;
+    arXiv:2312.11575).  Consumes 1 level."""
+    batch = ctx.slots
+    out_n = math.ceil(len(cts) / dimension)
+    maskv = np.zeros(batch)
+    maskv[::dimension] = 1.0
+
+    def mask_one(c: Ciphertext) -> Ciphertext:
+        m = ctx.encode_cached(("compress_mask", dimension), maskv, c.limbs, ctx.params.scale)
+        return ctx.rescale(ctx.mul_plain(c, m))
+
+    masked = _batched(ctx, mask_one, cts)
+    outs: List[Ciphertext] = [None] * out_n
+    by_rot = {}
+    for i, ct in enumerate(masked):
+        by_rot.setdefault(i % dimension, []).append((i, ct))
+    for r, items in by_rot.items():
+        if r == 0:
+            rotated = [ct for _, ct in items]
+        else:
+            rotated = _batched(
+                ctx, lambda c: ctx.binary_rotate(c, -r), [ct for _, ct in items]
+            )
+        for (i, _), rc in zip(items, rotated):
+            oc = i // dimension
+            outs[oc] = rc if outs[oc] is None else ctx.add(outs[oc], rc)
+    return outs

@@ -1,0 +1,71 @@
+"""End-to-end protocol orchestration: enroller + sender + receiver wired
+together per approach — the library-level equivalent of the reference's
+driver setup (src/main.cpp:236-330)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from ..ckks.context import CkksContext, Ciphertext
+from ..ckks.params import SchemeParams, compute_required_depth
+from .config import MatchConfig
+from . import enrollers, receivers, senders
+
+APPROACH_NAMES = {1: "Baseline", 2: "GROTE", 3: "Blind", 4: "HERS", 5: "Diagonal"}
+
+
+@dataclasses.dataclass
+class MatchingProtocol:
+    approach: int
+    ctx: CkksContext
+    cfg: MatchConfig
+    sender: senders.Sender
+    receiver: receivers.HersReceiver
+
+    @staticmethod
+    def setup(approach: int, database: np.ndarray, cfg: Optional[MatchConfig] = None,
+              params: Optional[SchemeParams] = None, seed: int = 0,
+              ctx: Optional[CkksContext] = None) -> "MatchingProtocol":
+        """Build context (depth from computeRequiredDepth), generate keys,
+        enroll the database."""
+        cfg = cfg or MatchConfig()
+        if ctx is None:
+            if params is None:
+                depth = compute_required_depth(approach, cfg.comp_depth, cfg.alpha_depth)
+                params = SchemeParams.create(mult_depth=depth)
+            ctx = CkksContext(params, seed=seed)
+        n = database.shape[0]
+        enroll = {
+            1: enrollers.enroll_base,
+            2: enrollers.enroll_base,
+            3: enrollers.enroll_blind,
+            4: enrollers.enroll_hers,
+            5: enrollers.enroll_diag,
+        }[approach]
+        db = enroll(ctx, cfg, database)
+        sender = senders.make_sender(approach, ctx, cfg, db)
+        receiver = receivers.make_receiver(approach, ctx, cfg, n)
+        ctx.gen_power_of_two_rotation_keys()
+        ctx.gen_rotation_keys(sender.required_rotations())
+        return MatchingProtocol(approach, ctx, cfg, sender, receiver)
+
+    # protocol phases (timed individually by the latency harness,
+    # mirroring reference src/main.cpp:330-389)
+
+    def encrypt_query(self, query: np.ndarray) -> List[Ciphertext]:
+        return self.receiver.encrypt_query(query)
+
+    def membership(self, query_cts: List[Ciphertext]) -> Ciphertext:
+        return self.sender.membership_scenario(query_cts)
+
+    def index(self, query_cts: List[Ciphertext]) -> List[Ciphertext]:
+        return self.sender.index_scenario(query_cts)
+
+    def decrypt_membership(self, ct: Ciphertext) -> bool:
+        return self.receiver.decrypt_membership(ct)
+
+    def decrypt_index(self, cts: List[Ciphertext]) -> List[int]:
+        return self.receiver.decrypt_index(cts)

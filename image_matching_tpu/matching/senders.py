@@ -1,0 +1,427 @@
+"""Senders: server-side homomorphic similarity + compare pipelines for the
+five approaches (reference src/sender/*.cpp; SURVEY.md section 2.3).
+
+TPU-native design notes
+-----------------------
+* The per-ciphertext OpenMP loops of the reference become **batched
+  contractions**: a whole matrix of DB ciphertexts is multiplied against
+  the (rotated/replicated) query with one deferred-reduction modular dot
+  (`mont_dot`) over the ciphertext axis — one fused VPU kernel instead of
+  512 serialized EvalMultNoRelin calls.
+* The diagonal approach (HyDia) defaults to a **BSGS split**: diagonals are
+  pre-rotated at enrollment, so the sender runs ~sqrt(dim) hoisted baby
+  rotations of the query plus one giant rotation per partial block — far
+  fewer key-switches and rotation keys than the reference's 511 hoisted
+  rotations (src/sender/sender_diag.cpp:14-26), with identical outputs.
+* Identical (limbs, scale) metadata across a batch lets jax.vmap run the
+  deep compare circuit once over all score ciphertexts.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ckks.context import CkksContext, Ciphertext
+from ..ckks import poly_eval
+from ..ops import modmath as mm
+from . import packing
+from .config import MatchConfig
+from .enrollers import BaseDB, BlindDB, DiagDB, HersDB
+
+
+def ct_dot(ctx: CkksContext, A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Sum_k A_k (x) B_k for stacks of 2-component ciphertexts
+    [K, 2, l, N] -> unrelinearized 3-component data [3, l, N].
+
+    This is the hot kernel of every similarity computation — the TPU
+    equivalent of the loops at reference src/sender/sender_diag.cpp:85-94 /
+    sender_hers.cpp:61-84."""
+    l = A.shape[-2]
+    lim = ctx.q_limbs(l)
+    q, qneg = ctx._qrow(lim)
+    p16 = ctx.pow16[:, :l][:, :, None]
+    a0, a1 = A[:, 0], A[:, 1]
+    b0, b1 = B[:, 0], B[:, 1]
+    c0 = mm.mont_dot(a0, b0, 0, q, qneg, p16)
+    c2 = mm.mont_dot(a1, b1, 0, q, qneg, p16)
+    c1 = mm.mont_dot(
+        jnp.concatenate([a0, a1], axis=0),
+        jnp.concatenate([b1, b0], axis=0),
+        0, q, qneg, p16,
+    )
+    return jnp.stack([c0, c1, c2])
+
+
+class Sender:
+    """Abstract sender (reference include/sender.h:19-43)."""
+
+    def __init__(self, ctx: CkksContext, cfg: MatchConfig, num_vectors: int):
+        self.ctx = ctx
+        self.cfg = cfg
+        self.num_vectors = num_vectors
+
+    # -- shared helpers -------------------------------------------------
+
+    def _compare_many(self, scores: List[Ciphertext]) -> List[Ciphertext]:
+        """chebyshevCompare over a batch of same-shape score ciphertexts."""
+        return self._compare_many_with(scores, self.cfg.match_threshold)
+
+    def _compare_many_with(self, scores: List[Ciphertext], thr: float) -> List[Ciphertext]:
+        ctx, cfg = self.ctx, self.cfg
+        if len(scores) == 1:
+            return [poly_eval.chebyshev_compare(ctx, scores[0], thr, cfg.comp_depth)]
+        scale = scores[0].scale
+        box = [None]
+
+        def body(data):
+            out = poly_eval.chebyshev_compare(
+                ctx, Ciphertext(data, scale), thr, cfg.comp_depth
+            )
+            box[0] = out.scale
+            return out.data
+
+        stacked = jnp.stack([s.data for s in scores])
+        res = jax.vmap(body)(stacked)
+        return [Ciphertext(res[i], box[0]) for i in range(len(scores))]
+
+    def _membership_reduce(self, flags: List[Ciphertext]) -> Ciphertext:
+        """EvalAddManyInPlace + EvalSum(batch) (e.g. reference
+        src/sender/sender_diag.cpp:44-47)."""
+        ctx = self.ctx
+        acc = flags[0]
+        for f in flags[1:]:
+            acc = ctx.add(acc, f)
+        return ctx.eval_sum(acc, ctx.slots)
+
+    def compute_similarity(self, query: List[Ciphertext]) -> List[Ciphertext]:
+        raise NotImplementedError
+
+    def membership_scenario(self, query: List[Ciphertext]) -> Ciphertext:
+        scores = self.compute_similarity(query)
+        flags = self._compare_many(scores)
+        return self._membership_reduce(flags)
+
+    def index_scenario(self, query: List[Ciphertext]) -> List[Ciphertext]:
+        scores = self.compute_similarity(query)
+        return self._compare_many(scores)
+
+    def required_rotations(self) -> List[int]:
+        """Rotation indices whose keys must exist (power-of-two keys are
+        always generated separately, matching reference src/main.cpp:195-206)."""
+        return []
+
+    # -- jitted end-to-end runners (one XLA program per scenario; on TPU
+    # eager per-op dispatch would round-trip the remote compiler) --------
+
+    def scenario_runner(self, kind: str):
+        if not hasattr(self, "_runners"):
+            self._runners = {}
+        if kind not in self._runners:
+            meta = {}
+
+            def fn(qstack, dbd):
+                old = self.db.data
+                self.db.data = dbd
+                try:
+                    qcts = [
+                        Ciphertext(qstack[i], self.ctx.fresh_scale)
+                        for i in range(qstack.shape[0])
+                    ]
+                    if kind == "membership":
+                        out = self.membership_scenario(qcts)
+                        meta["scale"] = out.scale
+                        return out.data
+                    outs = self.index_scenario(qcts)
+                    meta["scale"] = outs[0].scale
+                    return jnp.stack([o.data for o in outs])
+                finally:
+                    self.db.data = old
+
+            self._runners[kind] = (jax.jit(fn), meta)
+        return self._runners[kind]
+
+    def run_membership(self, query_cts: List[Ciphertext]) -> Ciphertext:
+        fn, meta = self.scenario_runner("membership")
+        data = fn(jnp.stack([c.data for c in query_cts]), self.db.data)
+        return Ciphertext(data, meta["scale"])
+
+    def run_index(self, query_cts: List[Ciphertext]) -> List[Ciphertext]:
+        fn, meta = self.scenario_runner("index")
+        data = fn(jnp.stack([c.data for c in query_cts]), self.db.data)
+        return [Ciphertext(data[i], meta["scale"]) for i in range(data.shape[0])]
+
+
+class HersSender(Sender):
+    """Approach 4 (reference src/sender/sender_hers.cpp): dimension-major
+    DB; score(m) = sum_j q_j (*) d_{m,j}."""
+
+    def __init__(self, ctx, cfg, db: HersDB):
+        super().__init__(ctx, cfg, db.num_vectors)
+        self.db = db
+
+    def compute_similarity(self, query: List[Ciphertext]) -> List[Ciphertext]:
+        ctx = self.ctx
+        Q = jnp.stack([c.data for c in query])  # [dim, 2, l, N]
+        sq = query[0].scale
+        scores = []
+        for m in range(self.db.data.shape[0]):
+            if self.cfg.faithful_hers:
+                # per-term relin+rescale "to match HERS paper approach"
+                # (reference src/sender/sender_hers.cpp:70-72)
+                def per_term(qd, dd):
+                    prod = ctx.mul(
+                        Ciphertext(qd, sq), Ciphertext(dd, self.db.scale)
+                    )
+                    out = ctx.rescale_score(ctx.relinearize(prod))
+                    return out.data, out.scale
+                outs = []
+                out_scale = None
+                for j in range(Q.shape[0]):
+                    d, out_scale = per_term(Q[j], self.db.data[m, j])
+                    outs.append(d)
+                acc = outs[0]
+                q, _ = ctx._qrow(ctx.q_limbs(acc.shape[-2]))
+                for d in outs[1:]:
+                    acc = mm.mod_add(acc, d, q)
+                scores.append(Ciphertext(acc, out_scale))
+            else:
+                t3 = ct_dot(ctx, Q, self.db.data[m])
+                ct = Ciphertext(t3, sq * self.db.scale)
+                scores.append(ctx.rescale_score(ctx.relinearize(ct)))
+        return scores
+
+
+class BaseSender(Sender):
+    """Approach 1 (reference src/sender/sender_base.cpp): sequential DB,
+    EvalInnerProduct per batch, then order-preserving merge."""
+
+    def __init__(self, ctx, cfg, db: BaseDB):
+        super().__init__(ctx, cfg, db.num_vectors)
+        self.db = db
+
+    def _raw_scores(self, query: List[Ciphertext]) -> List[Ciphertext]:
+        ctx, dim = self.ctx, self.cfg.vector_dim
+        qct = query[0]
+        box = [None]
+
+        def per_batch(dbd):
+            prod = ctx.mul(qct, Ciphertext(dbd, self.db.scale))
+            r = ctx.rescale_score(ctx.relinearize(prod))
+            r = ctx.eval_sum(r, dim)
+            box[0] = r.scale
+            return r.data
+
+        B = self.db.data.shape[0]
+        if B == 1:
+            res = per_batch(self.db.data[0])[None]
+        else:
+            res = jax.vmap(per_batch)(self.db.data)
+        return [Ciphertext(res[i], box[0]) for i in range(B)]
+
+    def compute_similarity(self, query: List[Ciphertext]) -> List[Ciphertext]:
+        scores = self._raw_scores(query)
+        return packing.merge_ciphers(self.ctx, scores, self.cfg.vector_dim)
+
+
+class GroteSender(BaseSender):
+    """Approach 2 (reference src/sender/sender_grote.cpp): baseline scores
+    + alpha-norm group testing over a near-square arrangement."""
+
+    def _alpha_squares(self, ct: Ciphertext) -> Ciphertext:
+        ctx = self.ctx
+        for _ in range(self.cfg.alpha_depth):
+            ct = ctx.rescale(ctx.relinearize(ctx.square(ct)))
+        return ct
+
+    def alpha_norm_rows(self, scores: List[Ciphertext], row_len: int) -> List[Ciphertext]:
+        """reference alphaNormRows (src/sender/sender_hers.cpp:118-132)."""
+        ctx = self.ctx
+        box = [None]
+
+        def one(data):
+            s = Ciphertext(data, scores[0].scale)
+            a = self._alpha_squares(s)
+            l = min(a.limbs, s.limbs)
+            prod = ctx.mul_relin(ctx.drop_to(a, l), ctx.drop_to(s, l))
+            prod = ctx.rescale(prod)
+            prod = ctx.eval_sum(prod, row_len)
+            box[0] = prod.scale
+            return prod.data
+
+        stacked = jnp.stack([s.data for s in scores])
+        res = jax.vmap(one)(stacked) if len(scores) > 1 else one(stacked[0])[None]
+        alist = [Ciphertext(res[i], box[0]) for i in range(len(scores))]
+        return packing.merge_ciphers(ctx, alist, row_len)
+
+    def alpha_norm_columns(self, scores: List[Ciphertext], row_len: int) -> List[Ciphertext]:
+        """reference alphaNormColumns (src/sender/sender_hers.cpp:136-178)."""
+        ctx = self.ctx
+        batch = ctx.slots
+        box = [None]
+        rmask = np.zeros(batch)
+        rmask[:row_len] = 1.0
+
+        def one(data):
+            s = Ciphertext(data, scores[0].scale)
+            a = self._alpha_squares(s)
+            l = min(a.limbs, s.limbs)
+            a = ctx.rescale(ctx.mul_relin(ctx.drop_to(a, l), ctx.drop_to(s, l)))
+            j = row_len
+            while j < batch:
+                a = ctx.add(a, ctx.binary_rotate(a, -j))
+                j *= 2
+            m = ctx.encode_cached(("grote_rowmask", row_len), rmask, a.limbs,
+                                  ctx.params.scale)
+            a = ctx.rescale(ctx.mul_plain(a, m))
+            box[0] = a.scale
+            return a.data
+
+        stacked = jnp.stack([s.data for s in scores])
+        res = jax.vmap(one)(stacked) if len(scores) > 1 else one(stacked[0])[None]
+        alist = [Ciphertext(res[i], box[0]) for i in range(len(scores))]
+        # pack alpha values consecutively
+        out_n = math.ceil(len(scores) * row_len / batch)
+        outs: List[Ciphertext] = [None] * out_n
+        by_rot = {}
+        for i, ct in enumerate(alist):
+            slot = (i * row_len) % batch
+            by_rot.setdefault(slot, []).append((i, ct))
+        for slot, items in by_rot.items():
+            if slot == 0:
+                rotated = [c for _, c in items]
+            else:
+                rotated = packing._batched(
+                    ctx, lambda c: ctx.binary_rotate(c, -slot), [c for _, c in items]
+                )
+            for (i, _), r in zip(items, rotated):
+                oc = (i * row_len) // batch
+                outs[oc] = r if outs[oc] is None else ctx.add(outs[oc], r)
+        return outs
+
+    def membership_scenario(self, query: List[Ciphertext]) -> Ciphertext:
+        ctx = self.ctx
+        batch = ctx.slots
+        row_len = 2 ** math.ceil(math.log2(batch) / 2)
+        scores = self.compute_similarity(query)
+        # reference computes colCipher here and never uses it
+        # (src/sender/sender_grote.cpp:23) — we skip the dead work but keep
+        # identical outputs.
+        flags = self._compare_many(scores)
+        return self._membership_reduce(flags)
+
+    def index_scenario(self, query: List[Ciphertext]) -> List[Ciphertext]:
+        ctx = self.ctx
+        batch = ctx.slots
+        row_len = 2 ** math.ceil(math.log2(batch) / 2)
+        scores = self.compute_similarity(query)
+        rows = self.alpha_norm_rows(scores, row_len)
+        cols = self.alpha_norm_columns(scores, row_len)
+        thr = self.cfg.match_threshold
+        for _ in range(self.cfg.alpha_depth):
+            thr = thr * thr
+        return self._compare_many_with(rows, thr) + self._compare_many_with(cols, thr)
+
+
+class BlindSender(Sender):
+    """Approach 3 (reference src/sender/sender_blind.cpp): chunked DB,
+    per-matrix chunk contraction + log rotate-add, then compression."""
+
+    def __init__(self, ctx, cfg, db: BlindDB):
+        super().__init__(ctx, cfg, db.num_vectors)
+        self.db = db
+
+    def compute_similarity(self, query: List[Ciphertext]) -> List[Ciphertext]:
+        ctx, cl = self.ctx, self.cfg.chunk_len
+        Q = jnp.stack([c.data for c in query])  # [cpv, 2, l, N]
+        sq = query[0].scale
+        box = [None]
+
+        def per_matrix(dbd):
+            t3 = ct_dot(ctx, Q, dbd)
+            ct = ctx.rescale_score(ctx.relinearize(Ciphertext(t3, sq * self.db.scale)))
+            r = 1
+            while r < cl:
+                ct = ctx.add(ct, ctx.rotate(ct, r))
+                r *= 2
+            box[0] = ct.scale
+            return ct.data
+
+        M = self.db.data.shape[0]
+        if M == 1:
+            res = per_matrix(self.db.data[0])[None]
+        else:
+            res = jax.vmap(per_matrix)(self.db.data)
+        scores = [Ciphertext(res[i], box[0]) for i in range(M)]
+        return packing.compress_ciphers(ctx, scores, cl)
+
+
+class DiagonalSender(Sender):
+    """Approach 5, HyDia (reference src/sender/sender_diag.cpp): diagonal
+    matrix-vector products with hoisted rotations; BSGS variant by default."""
+
+    def __init__(self, ctx, cfg, db: DiagDB):
+        super().__init__(ctx, cfg, db.num_vectors)
+        self.db = db
+
+    def required_rotations(self) -> List[int]:
+        dim = self.cfg.vector_dim
+        if self.db.bsgs:
+            n1 = self.db.n1
+            n2 = dim // n1
+            return list(range(1, n1)) + [n1 * j for j in range(1, n2)]
+        return list(range(1, dim))
+
+    def compute_similarity(self, query: List[Ciphertext]) -> List[Ciphertext]:
+        ctx, dim = self.ctx, self.cfg.vector_dim
+        qct = query[0]
+        if self.db.bsgs:
+            n1 = self.db.n1
+        else:
+            n1 = dim
+        n2 = dim // n1
+        digs = ctx.hoisted_precompute(qct)
+        babies = [qct] + [
+            ctx.hoisted_rotate(qct, digs, b) for b in range(1, n1)
+        ]
+        Q = jnp.stack([b.data for b in babies])  # [n1, 2, l, N]
+        sq = qct.scale
+        box = [None]
+
+        def per_group(dbd):  # dbd: [dim, 2, l, N]
+            if n2 == 1:
+                t3 = ct_dot(ctx, Q, dbd)
+                out = ctx.rescale_score(
+                    ctx.relinearize(Ciphertext(t3, sq * self.db.scale))
+                )
+            else:
+                acc = None
+                for j in range(n2):
+                    blk = dbd[n1 * j : n1 * (j + 1)]
+                    t3 = ct_dot(ctx, Q, blk)
+                    inner = ctx.relinearize(
+                        Ciphertext(t3, sq * self.db.scale)
+                    )
+                    if j:
+                        inner = ctx.rotate(inner, n1 * j)
+                    acc = inner if acc is None else ctx.add(acc, inner)
+                out = ctx.rescale_score(acc)
+            box[0] = out.scale
+            return out.data
+
+        G = self.db.data.shape[0]
+        if G == 1:
+            res = per_group(self.db.data[0])[None]
+        else:
+            res = jax.lax.map(per_group, self.db.data)
+        return [Ciphertext(res[i], box[0]) for i in range(G)]
+
+
+def make_sender(approach: int, ctx: CkksContext, cfg: MatchConfig, db) -> Sender:
+    cls = {1: BaseSender, 2: GroteSender, 3: BlindSender, 4: HersSender,
+           5: DiagonalSender}[approach]
+    return cls(ctx, cfg, db)

@@ -1,0 +1,45 @@
+"""Dataset IO and serialization.
+
+The `.dat` text format matches the reference (tools/gen_dataset.sh /
+src/main.cpp:216-230): first line N, then the query vector, then N database
+vectors, whitespace-separated integers (dimension inferred from config).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+
+def read_dataset(path: str, vector_dim: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (query [dim], database [N, dim])."""
+    with open(path) as f:
+        tokens = f.read().split()
+    n = int(tokens[0])
+    vals = np.array(tokens[1 : 1 + (n + 1) * vector_dim], dtype=np.float64)
+    query = vals[:vector_dim]
+    db = vals[vector_dim:].reshape(n, vector_dim)
+    return query, db
+
+
+def write_dataset(path: str, query: np.ndarray, db: np.ndarray):
+    with open(path, "w") as f:
+        f.write(f"{db.shape[0]}\n")
+        f.write(" ".join(str(int(v)) for v in query) + " \n")
+        for row in db:
+            f.write(" ".join(str(int(v)) for v in row) + " \n")
+
+
+def gen_dataset(n: int, vector_dim: int = 512, seed: int = 0,
+                match_index: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Synthetic planted-match dataset (reference tools/gen_dataset.sh):
+    query = all ones; the planted matching vector has values in 1..3
+    (cosine similarity ~0.9 with the query); others uniform in [-99, 99]
+    (expected similarity ~0)."""
+    rng = np.random.default_rng(seed)
+    query = np.ones(vector_dim)
+    db = rng.integers(-99, 100, size=(n, vector_dim)).astype(np.float64)
+    db[match_index] = rng.integers(1, 4, size=vector_dim)
+    return query, db

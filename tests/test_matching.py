@@ -1,0 +1,91 @@
+"""End-to-end tests of all five matching approaches on small (insecure)
+parameters with a planted-match dataset — the reference's correctness
+fixture (tools/gen_dataset.sh + run_artifact.sh), plus the 1e-4 encrypted
+vs plaintext score-parity check (reference src/main_accuracy.cpp:354-364).
+"""
+
+import numpy as np
+import pytest
+
+from image_matching_tpu.ckks.params import SchemeParams, compute_required_depth
+from image_matching_tpu.ckks.context import CkksContext
+from image_matching_tpu.matching.config import MatchConfig
+from image_matching_tpu.matching.protocol import MatchingProtocol
+from image_matching_tpu.matching import vector_utils as vu
+from image_matching_tpu.utils import io as dio
+
+RING = 512          # slots = 256
+DIM = 64            # test-scale vector dimension
+NVEC = 40           # spans fewer than one batch for speed
+
+
+def _cfg():
+    return MatchConfig(vector_dim=DIM, chunk_len=16, comp_depth=10, alpha_depth=2)
+
+
+_CTX_CACHE = {}
+
+
+def _ctx_for(approach):
+    cfg = _cfg()
+    depth = compute_required_depth(approach, cfg.comp_depth, cfg.alpha_depth)
+    if depth not in _CTX_CACHE:
+        params = SchemeParams.create(
+            ring_dim=RING, mult_depth=depth, security="none"
+        )
+        _CTX_CACHE[depth] = CkksContext(params, seed=7)
+    return _CTX_CACHE[depth]
+
+
+def _setup(approach, nvec=NVEC, seed=1):
+    cfg = _cfg()
+    query, db = dio.gen_dataset(nvec, DIM, seed=seed)
+    ctx = _ctx_for(approach)
+    proto = MatchingProtocol.setup(approach, db, cfg, ctx=ctx)
+    return proto, query, db
+
+
+@pytest.mark.parametrize("approach", [5, 4, 1, 3, 2])
+def test_end_to_end(approach):
+    proto, query, db = _setup(approach)
+    qcts = proto.encrypt_query(query)
+    mem = proto.membership(qcts)
+    assert proto.decrypt_membership(mem) is True
+
+    idx = proto.index(qcts)
+    got = proto.decrypt_index(idx)
+    sims = vu.cosine_similarity(vu.normalize(query)[None, :], vu.normalize(db))
+    expect = sorted(int(i) for i in np.nonzero(sims >= proto.cfg.match_threshold)[0])
+    assert sorted(got) == expect
+    assert 0 in got  # the planted match
+
+
+@pytest.mark.parametrize("approach", [5, 4])
+def test_score_parity(approach):
+    """Raw similarity scores must match the plaintext cosine oracle to 1e-4
+    (the reference's intended numeric check, src/main_accuracy.cpp:354-364)."""
+    proto, query, db = _setup(approach)
+    qcts = proto.encrypt_query(query)
+    scores = proto.sender.compute_similarity(qcts)
+    vals = np.concatenate([proto.ctx.decrypt(s) for s in scores])
+    sims = vu.cosine_similarity(vu.normalize(query)[None, :], vu.normalize(db))
+    if approach == 5:
+        # diagonal scores land at slot k for vector k (within group)
+        got = vals[: len(sims)]
+    else:
+        got = vals[: len(sims)]
+    np.testing.assert_allclose(got, sims, atol=1e-4)
+
+
+def test_membership_false_when_no_match():
+    cfg = _cfg()
+    rng = np.random.default_rng(9)
+    query = np.ones(DIM)
+    db = rng.integers(-99, 100, size=(NVEC, DIM)).astype(np.float64)  # no plant
+    sims = vu.cosine_similarity(vu.normalize(query)[None, :], vu.normalize(db))
+    assume_no_match = np.all(sims < cfg.match_threshold - 0.05)
+    assert assume_no_match, "fixture accidentally contains a match"
+    ctx = _ctx_for(5)
+    proto = MatchingProtocol.setup(5, db, cfg, ctx=ctx)
+    qcts = proto.encrypt_query(query)
+    assert proto.decrypt_membership(proto.membership(qcts)) is False
