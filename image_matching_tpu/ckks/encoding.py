@@ -94,6 +94,13 @@ def from_rns_centered(res: np.ndarray, primes: Sequence[int]) -> np.ndarray:
     Q = 1
     for q in primes:
         Q *= q
+    if Q >= (1 << 63):
+        # exact multi-word path in native code when available
+        from ..utils import native
+
+        out = native.crt_compose_centered(res, primes)
+        if out is not None:
+            return out
     if Q < (1 << 63):
         acc = np.zeros(res.shape[:-2] + res.shape[-1:], dtype=np.int64)
         # iterative CRT: x := x + q_partial * ((r_i - x) * inv mod q_i)

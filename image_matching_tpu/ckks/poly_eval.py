@@ -68,7 +68,7 @@ class _ChebBasis:
 
     def __init__(self, ctx: CkksContext, x: Ciphertext, max_deg: int, k: int = 8):
         self.ctx = ctx
-        self.T: Dict[int, Ciphertext] = {1: x}
+        self.B: Dict[int, Ciphertext] = {1: x}
         k = min(k, max(2, max_deg))
         for i in range(2, k + 1):
             self._build(i)
@@ -82,29 +82,29 @@ class _ChebBasis:
 
     def _double(self, i: int):
         ctx = self.ctx
-        t = ctx.rescale(ctx.relinearize(ctx.square(self.T[i])))
+        t = ctx.rescale(ctx.relinearize(ctx.square(self.B[i])))
         t = ctx.add(t, t)  # 2*T_i^2 (exact doubling, no level)
-        self.T[2 * i] = ctx.add_scalar(t, -1.0)
+        self.B[2 * i] = ctx.add_scalar(t, -1.0)
 
     def _build(self, i: int):
         ctx = self.ctx
-        if i in self.T:
+        if i in self.B:
             return
-        if i % 2 == 0 and i // 2 in self.T:
+        if i % 2 == 0 and i // 2 in self.B:
             self._double(i // 2)
             return
         # T_i = 2*T_a*T_b - T_{a-b} with a = ceil(i/2)+?: choose a,b close
         a = (i + 1) // 2
         b = i - a
-        ta, tb = self.T[a], self.T[b]
+        ta, tb = self.B[a], self.B[b]
         l = min(ta.limbs, tb.limbs)
         prod = ctx.rescale(ctx.mul_relin(ctx.drop_to(ta, l), ctx.drop_to(tb, l)))
         prod = ctx.add(prod, prod)  # 2 T_a T_b
         if a == b:
-            self.T[i] = ctx.add_scalar(prod, -1.0)
+            self.B[i] = ctx.add_scalar(prod, -1.0)
         else:
-            diff = self.T[a - b]
-            self.T[i] = _smart_add(ctx, prod, ctx.neg(diff))
+            diff = self.B[a - b]
+            self.B[i] = _smart_add(ctx, prod, ctx.neg(diff))
 
 
 def _cheb_divmod(c: List[float], m: int):
@@ -127,60 +127,88 @@ def _cheb_divmod(c: List[float], m: int):
     return q, c[:m]
 
 
-def _combo(ctx: CkksContext, basis: Dict[int, Ciphertext], coeffs: Sequence[float]) -> Ciphertext:
-    """sum_i coeffs[i] * B_i + coeffs[0], all terms brought to one exact
-    (limbs, scale) target via per-term plaintext-scale choice."""
+_MIN_SIGMA = float(2 ** 24)  # minimum plaintext scale for coefficient precision
+
+
+def _term_to(ctx: CkksContext, ct: Ciphertext, c: float, tgt_l: int,
+             tgt_s: float) -> Ciphertext:
+    """c * ct brought to exactly (tgt_l, tgt_s) via a coefficient multiply
+    at a freely chosen plaintext scale (plus rescales only when the raw
+    sigma would be too small for coefficient precision)."""
+    sigma = tgt_s / ct.scale
+    j = 0
+    while sigma < _MIN_SIGMA:
+        sigma *= ctx.all_primes[tgt_l + j]
+        j += 1
+    assert ct.limbs >= tgt_l + j, "no headroom for coefficient scale"
+    t = ctx.mul_scalar(ctx.drop_to(ct, tgt_l + j), float(c), sigma)
+    for _ in range(j):
+        t = ctx.rescale(t)
+    return Ciphertext(t.data, tgt_s)  # exact by construction of sigma
+
+
+def _combo(ctx: CkksContext, basis: Dict[int, Ciphertext],
+           coeffs: Sequence[float], tgt_l: int, tgt_s: float) -> Ciphertext:
+    """sum_i coeffs[i] * B_i + coeffs[0] at exactly (tgt_l, tgt_s)."""
     terms = [(i, c) for i, c in enumerate(coeffs) if i > 0 and abs(c) > 1e-13]
     if not terms:
-        # constant polynomial: represent on the shallowest basis element
-        any_ct = basis[1]
-        z = ctx.mul_scalar(any_ct, 0.0, ctx.params.scale)
-        z = ctx.rescale(z)
-        return ctx.add_scalar(z, float(coeffs[0]) if coeffs else 0.0)
-    tgt_limbs = min(basis[i].limbs for i, _ in terms) - 1
-    tgt_scale = ctx.params.scale
+        z = _term_to(ctx, basis[1], 0.0, tgt_l, tgt_s)
+        return ctx.add_scalar(z, float(coeffs[0]) if len(coeffs) else 0.0)
     out = None
     for i, c in terms:
-        ti = ctx.drop_to(basis[i], tgt_limbs + 1)
-        qt = int(ctx.all_primes[tgt_limbs])
-        sigma = tgt_scale * qt / ti.scale
-        term = ctx.rescale(ctx.mul_scalar(ti, float(c), sigma))
-        term = Ciphertext(term.data, tgt_scale)  # exact by construction
+        term = _term_to(ctx, basis[i], c, tgt_l, tgt_s)
         out = term if out is None else ctx.add(out, term)
-    if len(coeffs) > 0 and abs(coeffs[0]) > 1e-13:
+    if abs(coeffs[0]) > 1e-13:
         out = ctx.add_scalar(out, float(coeffs[0]))
     return out
 
 
-def eval_chebyshev_series(ctx: CkksContext, x: Ciphertext, coeffs: Sequence[float]) -> Ciphertext:
-    """Evaluate sum c_i T_i(x) with Paterson-Stockmeyer recursion;
-    depth = ceil(log2(degree+1)) for power-of-two-straddling degrees."""
-    coeffs = list(np.asarray(coeffs, dtype=np.float64))
-    while len(coeffs) > 1 and abs(coeffs[-1]) < 1e-13:
-        coeffs.pop()
-    deg = len(coeffs) - 1
-    basis = _ChebBasis(ctx, x, deg)
+def _eval_ps(ctx: CkksContext, basis, coeffs: List[float], divmod_fn) -> Ciphertext:
+    """Shared Paterson-Stockmeyer recursion with top-down (limbs, scale)
+    targets: every addition combines operands at *identical* (limbs,
+    scale), so no alignment levels are ever burned.  Depth therefore hits
+    the ceil(log2(deg+1)) bound (6 levels for the degree-59 series, 4 for
+    degree-9 f4 — matching OpenFHE's budget, reference COMP_DEPTH=10)."""
 
-    def rec(c: List[float]) -> Ciphertext:
+    def rec(c: List[float], tgt_l: int, tgt_s: float) -> Ciphertext:
         d = len(c) - 1
         while d > 0 and abs(c[d]) < 1e-13:
             c = c[:d]
             d -= 1
         if d <= basis.baby_k:
-            return _combo(ctx, basis.T, c)
+            return _combo(ctx, basis.B, c, tgt_l, tgt_s)
         m = basis.baby_k
         for g in basis.giants:
             if g <= d:
                 m = g
-        qc, rc = _cheb_divmod(c, m)
-        qq = rec(qc)
-        tm = basis.T[m]
-        l = min(qq.limbs, tm.limbs)
-        prod = ctx.rescale(ctx.mul_relin(ctx.drop_to(qq, l), ctx.drop_to(tm, l)))
-        rr = rec(rc)
-        return _smart_add(ctx, prod, rr)
+        qc, rc = divmod_fn(c, m)
+        tm = basis.B[m]
+        assert tgt_l < tm.limbs, "target below giant's level"
+        drop = 1.0
+        for i in range(tgt_l, tm.limbs - 1):
+            drop *= ctx.all_primes[i]
+        s_q = tgt_s * drop * ctx.all_primes[tm.limbs - 1] / tm.scale
+        qq = rec(qc, tm.limbs, s_q)
+        prod = ctx.mul_relin(qq, tm)
+        for _ in range(tm.limbs - tgt_l):
+            prod = ctx.rescale(prod)
+        prod = Ciphertext(prod.data, tgt_s)  # exact by construction of s_q
+        rr = rec(rc, tgt_l, tgt_s)
+        return ctx.add(prod, rr)
 
-    return rec(coeffs)
+    top_l = min(b.limbs for b in basis.B.values()) - 1
+    return rec(coeffs, top_l, ctx.params.scale)
+
+
+def eval_chebyshev_series(ctx: CkksContext, x: Ciphertext, coeffs: Sequence[float]) -> Ciphertext:
+    """Evaluate sum c_i T_i(x) with Paterson-Stockmeyer over the Chebyshev
+    basis (OpenFHE EvalChebyshevSeries equivalent)."""
+    coeffs = list(np.asarray(coeffs, dtype=np.float64))
+    while len(coeffs) > 1 and abs(coeffs[-1]) < 1e-13:
+        coeffs.pop()
+    deg = len(coeffs) - 1
+    basis = _ChebBasis(ctx, x, deg)
+    return _eval_ps(ctx, basis, coeffs, _cheb_divmod)
 
 
 def eval_chebyshev_function(ctx: CkksContext, x: Ciphertext, f, degree: int,
@@ -197,7 +225,7 @@ class _PowerBasis:
 
     def __init__(self, ctx: CkksContext, x: Ciphertext, max_deg: int, k: int = 4):
         self.ctx = ctx
-        self.P: Dict[int, Ciphertext] = {1: x}
+        self.B: Dict[int, Ciphertext] = {1: x}
         k = min(k, max(1, max_deg))
         for i in range(2, k + 1):
             self._build(i)
@@ -205,20 +233,20 @@ class _PowerBasis:
         self.giants = []
         g = k
         while 2 * g <= max_deg:
-            hi = self.P[g]
-            self.P[2 * g] = ctx.rescale(ctx.relinearize(ctx.square(hi)))
+            hi = self.B[g]
+            self.B[2 * g] = ctx.rescale(ctx.relinearize(ctx.square(hi)))
             g *= 2
             self.giants.append(g)
 
     def _build(self, i: int):
         ctx = self.ctx
         if i % 2 == 0:
-            h = self.P[i // 2]
-            self.P[i] = ctx.rescale(ctx.relinearize(ctx.square(h)))
+            h = self.B[i // 2]
+            self.B[i] = ctx.rescale(ctx.relinearize(ctx.square(h)))
         else:
-            a, b = self.P[i - 1], self.P[1]
+            a, b = self.B[i - 1], self.B[1]
             l = min(a.limbs, b.limbs)
-            self.P[i] = ctx.rescale(
+            self.B[i] = ctx.rescale(
                 ctx.mul_relin(ctx.drop_to(a, l), ctx.drop_to(b, l))
             )
 
@@ -231,27 +259,7 @@ def eval_poly_ps(ctx: CkksContext, x: Ciphertext, coeffs: Sequence[float]) -> Ci
         coeffs.pop()
     deg = len(coeffs) - 1
     basis = _PowerBasis(ctx, x, deg)
-
-    def rec(c: List[float]) -> Ciphertext:
-        d = len(c) - 1
-        while d > 0 and abs(c[d]) < 1e-13:
-            c = c[:d]
-            d -= 1
-        if d <= basis.baby_k:
-            return _combo(ctx, basis.P, c)
-        m = basis.baby_k
-        for g in basis.giants:
-            if g <= d:
-                m = g
-        qc, rc = c[m:], c[:m]
-        qq = rec(list(qc))
-        pm = basis.P[m]
-        l = min(qq.limbs, pm.limbs)
-        prod = ctx.rescale(ctx.mul_relin(ctx.drop_to(qq, l), ctx.drop_to(pm, l)))
-        rr = rec(list(rc))
-        return _smart_add(ctx, prod, rr)
-
-    return rec(coeffs)
+    return _eval_ps(ctx, basis, coeffs, lambda c, m: (list(c[m:]), list(c[:m])))
 
 
 def chebyshev_compare(ctx: CkksContext, x: Ciphertext, delta: float,

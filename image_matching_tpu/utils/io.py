@@ -15,10 +15,17 @@ import numpy as np
 
 def read_dataset(path: str, vector_dim: int = 512) -> Tuple[np.ndarray, np.ndarray]:
     """-> (query [dim], database [N, dim])."""
-    with open(path) as f:
-        tokens = f.read().split()
-    n = int(tokens[0])
-    vals = np.array(tokens[1 : 1 + (n + 1) * vector_dim], dtype=np.float64)
+    from . import native
+
+    if native.available():
+        head = native.parse_dat(path, 1)
+        n = int(head[0])
+        vals = native.parse_dat(path, 1 + (n + 1) * vector_dim)[1:]
+    else:
+        with open(path) as f:
+            tokens = f.read().split()
+        n = int(tokens[0])
+        vals = np.array(tokens[1 : 1 + (n + 1) * vector_dim], dtype=np.float64)
     query = vals[:vector_dim]
     db = vals[vector_dim:].reshape(n, vector_dim)
     return query, db
@@ -43,3 +50,29 @@ def gen_dataset(n: int, vector_dim: int = 512, seed: int = 0,
     db = rng.integers(-99, 100, size=(n, vector_dim)).astype(np.float64)
     db[match_index] = rng.integers(1, 4, size=vector_dim)
     return query, db
+
+
+def gen_identity_dataset(n_ids: int, per_id: int, n_queries: int,
+                         vector_dim: int = 512, seed: int = 0,
+                         noise: float = 0.35):
+    """Synthetic FRGC-like identity-labeled embeddings (the real FRGC 2.0
+    files used by the reference accuracy driver, src/main_accuracy.cpp:45-97,
+    are not distributed).  Same-identity embeddings are noisy copies of an
+    identity prototype, giving realistic same/different cosine separation.
+
+    -> (db [n_ids*per_id, dim], db_ids, queries [n_queries, dim], query_ids)
+    """
+    rng = np.random.default_rng(seed)
+    protos = rng.normal(size=(n_ids, vector_dim))
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    db = []
+    db_ids = []
+    for i in range(n_ids):
+        for _ in range(per_id):
+            v = protos[i] + noise * rng.normal(size=vector_dim)
+            db.append(v)
+            db_ids.append(i)
+    qids = rng.integers(0, n_ids, size=n_queries)
+    queries = protos[qids] + noise * rng.normal(size=(n_queries, vector_dim))
+    return (np.array(db), np.array(db_ids, dtype=np.int64),
+            queries, qids.astype(np.int64))
