@@ -36,7 +36,9 @@ def _block(x):
 
 def run(dataset: str, approach: int, csv_path: str = "latency.csv",
         ring_dim: int = 32768, vector_dim: int = 512, seed: int = 0,
-        scale_bits: int = 28) -> dict:
+        scale_bits: int = 30, profile_dir: str = "") -> dict:
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     cfg = MatchConfig(vector_dim=vector_dim)
     print(f"Experimental approach: {APPROACH_NAMES[approach]}")
     query, db = dio.read_dataset(dataset, vector_dim)
@@ -86,6 +88,8 @@ def run(dataset: str, approach: int, csv_path: str = "latency.csv",
     row["index_dec_s"] = time.time() - t0
     row["index_result"] = idx_result
     print(f"[Receiver] index decrypted: {idx_result}")
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     if csv_path:
         newfile = not os.path.exists(csv_path)
@@ -110,10 +114,11 @@ def main():
     ap.add_argument("--csv", default="latency.csv")
     ap.add_argument("--ring-dim", type=int, default=32768)
     ap.add_argument("--vector-dim", type=int, default=512)
-    ap.add_argument("--scale-bits", type=int, default=28)
+    ap.add_argument("--scale-bits", type=int, default=30)
+    ap.add_argument("--profile-dir", default="")
     args = ap.parse_args()
     run(args.dataset, args.approach, args.csv, args.ring_dim, args.vector_dim,
-        scale_bits=args.scale_bits)
+        scale_bits=args.scale_bits, profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":

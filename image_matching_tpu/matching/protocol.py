@@ -59,10 +59,11 @@ class MatchingProtocol:
         return self.receiver.encrypt_query(query)
 
     def membership(self, query_cts: List[Ciphertext]) -> Ciphertext:
-        return self.sender.membership_scenario(query_cts)
+        """Jitted end-to-end membership scenario (one XLA program)."""
+        return self.sender.run_membership(query_cts)
 
     def index(self, query_cts: List[Ciphertext]) -> List[Ciphertext]:
-        return self.sender.index_scenario(query_cts)
+        return self.sender.run_index(query_cts)
 
     def decrypt_membership(self, ct: Ciphertext) -> bool:
         return self.receiver.decrypt_membership(ct)

@@ -196,6 +196,25 @@ class HersSender(Sender):
         return scores
 
 
+def generate_query_helper(ctx: CkksContext, cfg: MatchConfig,
+                          query_ct: Ciphertext, index: int) -> Ciphertext:
+    """Server-side expansion of a single replicated-query ciphertext into
+    the dimension-major form: mask feature `index`, rescale, then EvalSum
+    over vector_dim to fill all slots (reference generateQueryHelper,
+    src/sender/sender_hers.cpp:101-115).  Lets a HERS-style sender accept
+    the 1-ciphertext query of approach 1/5 (encryptQueryAlt,
+    reference receiver_hers.cpp:66-77)."""
+    import numpy as np
+
+    batch = ctx.slots
+    mask = np.zeros(batch)
+    mask[index::cfg.vector_dim] = 1.0
+    pt = ctx.encode_cached(("qh_mask", cfg.vector_dim, index), mask,
+                           query_ct.limbs, ctx.params.scale)
+    out = ctx.rescale(ctx.mul_plain(query_ct, pt))
+    return ctx.eval_sum(out, cfg.vector_dim)
+
+
 class BaseSender(Sender):
     """Approach 1 (reference src/sender/sender_base.cpp): sequential DB,
     EvalInnerProduct per batch, then order-preserving merge."""

@@ -93,6 +93,7 @@ class NttPlan:
         self.ninv = jnp.asarray(ninv)
         self.ninv_sh = jnp.asarray(ninv_sh)
         self.q = jnp.asarray(np.array(primes, dtype=np.uint32))
+        self._build_loop_tables(psis, ipsis)
         # exponent map: eval position j holds m(psi^{exp[j]}) — derived
         # once from the smallest limb (identical structure for all limbs).
         self._exp = self._derive_exponents()
@@ -100,6 +101,75 @@ class NttPlan:
         pos[self._exp] = np.arange(n)
         self._pos_of_exp = pos
         self._auto_cache = {}
+
+    def _build_loop_tables(self, psis: np.ndarray, ipsis: np.ndarray):
+        """Uniform-stage butterfly tables so all log2(N) stages run under a
+        single lax.fori_loop: every stage is
+            out[j] = s1[j] * (x[u[j]] + s2[j] * x[v[j]])   (mod q)
+        with subtraction folded into s2 via negated twiddles.  This keeps
+        jitted pipeline graphs constant-size per NTT — essential for
+        whole-scenario compilation — at the cost of one extra Shoup
+        multiply per element in the inverse."""
+        n, logn, L = self.n, self.logn, len(self.primes)
+        qarr = np.array(self.primes, dtype=np.uint64)
+        j = np.arange(n)
+
+        f_u = np.empty((logn, n), dtype=np.int32)
+        f_v = np.empty((logn, n), dtype=np.int32)
+        f_s2 = np.empty((logn, L, n), dtype=np.uint32)
+        for s in range(logn):
+            m = 1 << s
+            t = n // (2 * m)
+            g = j // (2 * t)
+            p = j % (2 * t)
+            lo = p < t
+            f_u[s] = np.where(lo, j, j - t)
+            f_v[s] = np.where(lo, j + t, j)
+            w = psis[:, m + g]  # [L, n]
+            f_s2[s] = np.where(lo[None, :], w, (qarr[:, None] - w) % qarr[:, None])
+        self.f_u = jnp.asarray(f_u)
+        self.f_v = jnp.asarray(f_v)
+        self.f_s2 = jnp.asarray(f_s2)
+        self.f_s2_sh = jnp.asarray(
+            np.stack([
+                np.stack([mm.host_shoup(f_s2[s, i], self.primes[i]) for i in range(L)])
+                for s in range(logn)
+            ])
+        )
+
+        i_u = np.empty((logn, n), dtype=np.int32)
+        i_v = np.empty((logn, n), dtype=np.int32)
+        i_s1 = np.empty((logn, L, n), dtype=np.uint32)
+        i_s2 = np.empty((logn, L, n), dtype=np.uint32)
+        for s in range(logn):
+            m = n >> s
+            h = m // 2
+            t = n // m
+            g = j // (2 * t)
+            p = j % (2 * t)
+            lo = p < t
+            i_u[s] = np.where(lo, j, j - t)
+            i_v[s] = np.where(lo, j + t, j)
+            w = ipsis[:, h + g]
+            one = np.ones_like(w)
+            i_s1[s] = np.where(lo[None, :], one, w)
+            i_s2[s] = np.where(lo[None, :], one, (qarr[:, None] - 1) % qarr[:, None])
+        self.i_u = jnp.asarray(i_u)
+        self.i_v = jnp.asarray(i_v)
+        self.i_s1 = jnp.asarray(i_s1)
+        self.i_s2 = jnp.asarray(i_s2)
+        self.i_s1_sh = jnp.asarray(
+            np.stack([
+                np.stack([mm.host_shoup(i_s1[s, i], self.primes[i]) for i in range(L)])
+                for s in range(logn)
+            ])
+        )
+        self.i_s2_sh = jnp.asarray(
+            np.stack([
+                np.stack([mm.host_shoup(i_s2[s, i], self.primes[i]) for i in range(L)])
+                for s in range(logn)
+            ])
+        )
 
     def _derive_exponents(self) -> np.ndarray:
         """eval position -> exponent of psi, via NTT(X) and discrete log."""
@@ -155,53 +225,40 @@ class NttPlan:
 
     def fwd(self, a: jnp.ndarray, limbs: Tuple[int, ...]) -> jnp.ndarray:
         """Forward negacyclic NTT.  a: [..., L, N] Montgomery-form coeffs
-        (natural order) -> eval form (bit-reversed order)."""
-        n = self.n
+        (natural order) -> eval form (bit-reversed order).  All stages run
+        under one fori_loop over uniform gather-butterflies."""
+        import jax
+
         idx, q = self._consts(limbs)
-        psis = self.psis[idx]
-        psis_sh = self.psis_sh[idx]
-        lead = a.shape[:-1]
-        m = 1
-        while m < n:
-            t = n // (2 * m)
-            a = a.reshape(*lead, m, 2, t)
-            s = psis[:, m : 2 * m].reshape((1,) * (len(lead) - 1) + (-1, m, 1))
-            s_sh = psis_sh[:, m : 2 * m].reshape(
-                (1,) * (len(lead) - 1) + (-1, m, 1)
-            )
-            qb = q.reshape((1,) * (len(lead) - 1) + (-1, 1, 1))
-            u = a[..., 0, :]
-            v = mm.shoup_mul(a[..., 1, :], s, s_sh, qb)
-            a = jnp.stack([mm.mod_add(u, v, qb), mm.mod_sub(u, v, qb)], axis=-2)
-            m *= 2
-        return a.reshape(*lead, n)
+        s2 = self.f_s2[:, idx]      # [logn, l, n]
+        s2_sh = self.f_s2_sh[:, idx]
+
+        def body(s, x):
+            u = jnp.take(x, self.f_u[s], axis=-1)
+            v = jnp.take(x, self.f_v[s], axis=-1)
+            wv = mm.shoup_mul(v, s2[s], s2_sh[s], q)
+            return mm.mod_add(u, wv, q)
+
+        return jax.lax.fori_loop(0, self.logn, body, a)
 
     def inv(self, a: jnp.ndarray, limbs: Tuple[int, ...]) -> jnp.ndarray:
         """Inverse NTT: eval form (bit-reversed) -> natural-order coeffs,
         including the 1/N scaling."""
-        n = self.n
+        import jax
+
         idx, q = self._consts(limbs)
-        ipsis = self.ipsis[idx]
-        ipsis_sh = self.ipsis_sh[idx]
-        lead = a.shape[:-1]
-        m = n
-        while m > 1:
-            h = m // 2
-            t = n // m
-            a = a.reshape(*lead, h, 2, t)
-            s = ipsis[:, h : 2 * h].reshape((1,) * (len(lead) - 1) + (-1, h, 1))
-            s_sh = ipsis_sh[:, h : 2 * h].reshape(
-                (1,) * (len(lead) - 1) + (-1, h, 1)
-            )
-            qb = q.reshape((1,) * (len(lead) - 1) + (-1, 1, 1))
-            u = a[..., 0, :]
-            v = a[..., 1, :]
-            a = jnp.stack(
-                [mm.mod_add(u, v, qb), mm.shoup_mul(mm.mod_sub(u, v, qb), s, s_sh, qb)],
-                axis=-2,
-            )
-            m //= 2
-        a = a.reshape(*lead, n)
+        s1 = self.i_s1[:, idx]
+        s1_sh = self.i_s1_sh[:, idx]
+        s2 = self.i_s2[:, idx]
+        s2_sh = self.i_s2_sh[:, idx]
+
+        def body(s, x):
+            u = jnp.take(x, self.i_u[s], axis=-1)
+            v = jnp.take(x, self.i_v[s], axis=-1)
+            t = mm.mod_add(u, mm.shoup_mul(v, s2[s], s2_sh[s], q), q)
+            return mm.shoup_mul(t, s1[s], s1_sh[s], q)
+
+        a = jax.lax.fori_loop(0, self.logn, body, a)
         ninv = self.ninv[idx][:, None]
         ninv_sh = self.ninv_sh[idx][:, None]
         return mm.shoup_mul(a, ninv, ninv_sh, q)

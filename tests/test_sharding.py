@@ -1,0 +1,43 @@
+"""Multi-device sharded execution on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+
+from image_matching_tpu.ckks.params import SchemeParams, compute_required_depth
+from image_matching_tpu.ckks.context import CkksContext
+from image_matching_tpu.matching.config import MatchConfig
+from image_matching_tpu.matching.protocol import MatchingProtocol
+from image_matching_tpu.parallel.sharded import make_mesh, ShardedScenario
+from image_matching_tpu.utils import io as dio
+
+DIM = 64
+RING = 512
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_diag_membership_matches_single():
+    n_dev = 2
+    cfg = MatchConfig(vector_dim=DIM, chunk_len=16)
+    depth = compute_required_depth(5, cfg.comp_depth, cfg.alpha_depth)
+    params = SchemeParams.create(ring_dim=RING, mult_depth=depth, security="none")
+    ctx = CkksContext(params, seed=8)
+    group = params.slots  # vectors per diagonal group
+    query, db = dio.gen_dataset(group * n_dev, DIM, seed=8)
+    proto = MatchingProtocol.setup(5, db, cfg, ctx=ctx)
+    qcts = proto.encrypt_query(query)
+
+    single = proto.membership(qcts)
+    mesh = make_mesh(n_dev)
+    sharded = ShardedScenario(proto.sender, mesh)
+    multi = sharded.membership(qcts)
+
+    v1 = proto.ctx.decrypt(single)[0]
+    v2 = proto.ctx.decrypt(multi)[0]
+    assert (v1 >= 1.0) == (v2 >= 1.0) == True  # noqa: E712
+    np.testing.assert_allclose(v1, v2, atol=1e-2)
+
+    # index flags identical across sharded/unsharded
+    idx1 = proto.decrypt_index(proto.index(qcts))
+    idx2 = proto.decrypt_index(sharded.index(qcts))
+    assert idx1 == idx2 == [0]
