@@ -280,19 +280,17 @@ class CkksContext:
 
     def encode(self, values: np.ndarray, limbs: int, scale: float) -> Plaintext:
         """Encode slot values into an eval-domain Montgomery plaintext at
-        the given limb count and exact scale."""
+        the given limb count and exact scale.  Entirely host-side (numpy
+        NTT) so cached plaintexts are plain constants — safe to reuse
+        across jit traces."""
         coeffs = encoding.encode(np.asarray(values), self.n, scale)[0]
-        rns = encoding.to_rns(coeffs[None, :], [self.all_primes[i] for i in range(limbs)])[0]
-        dev = jnp.asarray(
-            np.stack(
-                [
-                    mm.host_to_mont(rns[i], self.all_primes[i])
-                    for i in range(limbs)
-                ]
-            )
-        )
-        dev = self.plan.fwd(dev, self.q_limbs(limbs))
-        return Plaintext(dev, scale)
+        rows = []
+        for i in range(limbs):
+            q = self.all_primes[i]
+            res = np.mod(coeffs, q).astype(np.uint64)
+            ev = host_ntt_fwd(res, q, np.asarray(self.plan.psis[i]))
+            rows.append(mm.host_to_mont(ev.astype(np.uint32), q))
+        return Plaintext(np.stack(rows), scale)
 
     def encode_cached(self, key, values, limbs: int, scale: float) -> Plaintext:
         ck = (key, limbs, round(math.log2(scale) * 1e6))
@@ -573,12 +571,9 @@ class CkksContext:
         )  # [g, t]: (Qhat_i * R^2) mod p
         qg_r2 = np.array([QG * R * R % dq for dq in dst_p], dtype=np.uint32)[:, None]
         inv_q = np.array([1.0 / q for q in src_p], dtype=np.float32)[:, None]
-        out = (
-            jnp.asarray(t_std),
-            jnp.asarray(qhat),
-            jnp.asarray(qg_r2),
-            jnp.asarray(inv_q),
-        )
+        # cache host-side numpy only: device conversion must happen fresh
+        # inside each trace, or cached tracers would leak across jits
+        out = (t_std, qhat, qg_r2, inv_q)
         self._fbc_cache[key] = out
         return out
 

@@ -213,7 +213,9 @@ class NttPlan:
             tgt = (g * self._exp) % (2 * self.n)
             perm = self._pos_of_exp[tgt]
             assert np.all(perm >= 0)
-            self._auto_cache[g] = jnp.asarray(perm.astype(np.int32))
+            # numpy, not jnp: a device array created inside a jit trace
+            # would leak as a cached tracer into later traces
+            self._auto_cache[g] = perm.astype(np.int32)
         return self._auto_cache[g]
 
     # ----- device transforms ---------------------------------------------
