@@ -31,6 +31,8 @@ def main():
     n = 1 << log2n
 
     import jax
+    from image_matching_tpu.utils.jaxcfg import enable_compilation_cache
+    enable_compilation_cache()
     from image_matching_tpu.ckks.params import SchemeParams, compute_required_depth
     from image_matching_tpu.matching.config import MatchConfig
     from image_matching_tpu.matching.protocol import MatchingProtocol

@@ -112,7 +112,12 @@ class CkksContext:
 
         self._rng = np.random.default_rng(seed)
         self._keygen()
-        self.rot_keys: Dict[int, jnp.ndarray] = {}
+        # rotation keys live in stacked sets ([R, dnum, 2, Ltot, N]) so
+        # groups of rotations can run as ONE vmapped/scanned keyswitch
+        # body — essential to keep XLA graphs small on TPU.
+        self._rot_sets: List[Tuple[jnp.ndarray, jnp.ndarray]] = []  # (perms, keys)
+        self.rot_keys: Dict[int, Dict[int, int]] = {}  # galois -> {set: row}
+        self._pow2_rots: List[int] = []
         self._pt_cache: Dict = {}
         self._fbc_cache: Dict = {}
 
@@ -165,7 +170,7 @@ class CkksContext:
         out = np.empty((len(limb_ids), self.n), dtype=np.uint64)
         for row, i in enumerate(limb_ids):
             q = self.all_primes[i]
-            psis = np.asarray(self.plan.psis[i])
+            psis = self.plan.psis_np[i]
             res = np.mod(coeffs, q).astype(np.uint64)
             out[row] = host_ntt_fwd(res, q, psis)
         return out
@@ -255,24 +260,55 @@ class CkksContext:
         """Galois element for EvalRotate(ct, r): left-rotate slots by r."""
         return pow(5, r % self.slots, 2 * self.n)
 
-    def gen_rotation_keys(self, rotations: Sequence[int]):
+    def gen_rotation_keys(self, rotations: Sequence[int], force: bool = False):
+        """Generate keys for the given slot rotations as one stacked set.
+        With force=True, rotations already covered by other sets are
+        regenerated here so the whole list lives in a single set (required
+        for vmapped/scanned rotation batches)."""
+        new = []
         for r in rotations:
             g = self.rotation_galois(r)
-            if g in self.rot_keys or g == 1:
+            if g == 1 or g in [x[0] for x in new]:
                 continue
-            perm = np.asarray(self.plan.auto_perm(g))
+            if g in self.rot_keys and not force:
+                continue
+            new.append((g, r))
+        if not new:
+            return
+        perms = []
+        keys = []
+        set_idx = len(self._rot_sets)
+        for row, (g, _r) in enumerate(new):
+            perm = self.plan.auto_perm(g)
             s_rot = self._s_eval_std[:, perm]
-            self.rot_keys[g] = self._gen_ksk(s_rot)
+            keys.append(self._gen_ksk(s_rot))
+            perms.append(perm)
+            self.rot_keys.setdefault(g, {})[set_idx] = row
+        self._rot_sets.append(
+            (jnp.asarray(np.stack(perms)), jnp.stack(keys))
+        )
 
     def gen_power_of_two_rotation_keys(self):
         """Keys for +-2^k — the reference's binaryRotate key policy
-        (src/main.cpp:195-206)."""
+        (src/main.cpp:195-206).  Ordered [1, 2, 4, ...] first so eval_sum
+        can use a static prefix of the stacked set."""
         rots = []
         i = 1
         while i < self.slots:
-            rots += [i, -i]
+            rots.append(i)
             i *= 2
+        i = 1
+        while i < self.slots:
+            rots.append(-i)
+            i *= 2
+        self._pow2_set_idx = len(self._rot_sets)
+        self._pow2_rots = rots
         self.gen_rotation_keys(rots)
+
+    def _rot_entry(self, g: int):
+        set_idx, row = next(iter(self.rot_keys[g].items()))
+        perms, keys = self._rot_sets[set_idx]
+        return perms[row], keys[row]
 
     # ------------------------------------------------------------------
     # encoding / encryption (host <-> device boundary)
@@ -288,7 +324,7 @@ class CkksContext:
         for i in range(limbs):
             q = self.all_primes[i]
             res = np.mod(coeffs, q).astype(np.uint64)
-            ev = host_ntt_fwd(res, q, np.asarray(self.plan.psis[i]))
+            ev = host_ntt_fwd(res, q, self.plan.psis_np[i])
             rows.append(mm.host_to_mont(ev.astype(np.uint32), q))
         return Plaintext(np.stack(rows), scale)
 
@@ -310,7 +346,10 @@ class CkksContext:
     def encrypt_batch(self, values: np.ndarray, limbs: Optional[int] = None,
                       scale: Optional[float] = None) -> jnp.ndarray:
         """Encrypt a batch of slot-value vectors [B, slots] -> ciphertext
-        data array [B, 2, l, N].  Heavy lifting (NTT, pk MACs) on device."""
+        data array [B, 2, l, N].  Only the encoded message crosses the
+        host->device boundary; encryption randomness (ternary v, gaussian
+        e0/e1) is sampled on-device with jax.random, and all NTTs / pk
+        MACs run on-device."""
         values = np.atleast_2d(np.asarray(values, dtype=np.float64))
         B = values.shape[0]
         l = limbs if limbs is not None else self.Lq
@@ -318,25 +357,36 @@ class CkksContext:
         primes = [self.all_primes[i] for i in range(l)]
         coeffs = encoding.encode(values, self.n, sc)  # [B, n]
         m_rns = encoding.to_rns(coeffs, primes)  # [B, l, n] std
-        v, e0, e1 = self._fresh_noise(B)
-        v_rns = encoding.to_rns(v, primes)
-        e0_rns = encoding.to_rns(e0, primes)
-        e1_rns = encoding.to_rns(e1, primes)
-        return self._encrypt_dev(
-            jnp.asarray(m_rns), jnp.asarray(v_rns), jnp.asarray(e0_rns),
-            jnp.asarray(e1_rns), l
-        )
+        key = jax.random.key(int(self._rng.integers(0, 2 ** 63)))
+        return self._encrypt_dev(jnp.asarray(m_rns), key, l)
 
-    @functools.partial(jax.jit, static_argnums=(0, 5))
-    def _encrypt_dev(self, m_rns, v_rns, e0_rns, e1_rns, l):
+    def _small_signed_to_rns(self, x, l):
+        """Device: small signed int32 [..., n] -> standard residues
+        uint32 [..., l, n]."""
+        lim = self.q_limbs(l)
+        q, _ = self._qrow(lim)
+        xe = x[..., None, :].astype(jnp.int32)
+        return jnp.where(xe < 0, q.astype(jnp.int32) + xe, xe).astype(jnp.uint32)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _encrypt_dev(self, m_rns, key, l):
         lim = self.q_limbs(l)
         q, qneg = self._qrow(lim)
         r2 = self.r2[np.asarray(lim, dtype=np.int32)][:, None]
         to_mont = lambda x: mm.mont_mul(x, r2, q, qneg)
+        B = m_rns.shape[0]
+        kv, k0, k1 = jax.random.split(key, 3)
+        v_s = jax.random.randint(kv, (B, self.n), -1, 2, dtype=jnp.int32)
+        e0_s = jnp.round(
+            jax.random.normal(k0, (B, self.n), dtype=jnp.float32) * self.params.sigma
+        ).astype(jnp.int32)
+        e1_s = jnp.round(
+            jax.random.normal(k1, (B, self.n), dtype=jnp.float32) * self.params.sigma
+        ).astype(jnp.int32)
         m = self.plan.fwd(to_mont(m_rns), lim)
-        v = self.plan.fwd(to_mont(v_rns), lim)
-        e0 = self.plan.fwd(to_mont(e0_rns), lim)
-        e1 = self.plan.fwd(to_mont(e1_rns), lim)
+        v = self.plan.fwd(to_mont(self._small_signed_to_rns(v_s, l)), lim)
+        e0 = self.plan.fwd(to_mont(self._small_signed_to_rns(e0_s, l)), lim)
+        e1 = self.plan.fwd(to_mont(self._small_signed_to_rns(e1_s, l)), lim)
         b = self.pk_b[:l]
         a = self.pk_a[:l]
         c0 = mm.mod_add(mm.mod_add(mm.mont_mul(b, v, q, qneg), e0, q), m, q)
@@ -729,9 +779,10 @@ class CkksContext:
             raise KeyError(f"no rotation key for r={r} (g={g})")
         assert x.ncomp == 2
         l = x.limbs
+        _, key = self._rot_entry(g)
         c0 = self._permute(x.data[0], g)
         c1 = self._permute(x.data[1], g)
-        d0, d1 = self.keyswitch(c1, self.rot_keys[g])
+        d0, d1 = self.keyswitch(c1, key)
         q, _ = self._qrow(self.q_limbs(l))
         return Ciphertext(jnp.stack([mm.mod_add(c0, d0, q), d1]), x.scale)
 
@@ -760,20 +811,86 @@ class CkksContext:
             return x
         g = self.rotation_galois(r)
         l = x.limbs
+        _, key = self._rot_entry(g)
         pdigs = self._permute(digs, g)
-        d0, d1 = self._keyswitch_digits(pdigs, self.rot_keys[g], l)
+        d0, d1 = self._keyswitch_digits(pdigs, key, l)
         c0 = self._permute(x.data[0], g)
         q, _ = self._qrow(self.q_limbs(l))
         return Ciphertext(jnp.stack([mm.mod_add(c0, d0, q), d1]), x.scale)
 
+    def _rot_rows(self, rots: Sequence[int]):
+        """Stacked (perms [R, N], keys [R, ...]) for the given rotations —
+        rows gathered from the stored sets (zero-copy when they form a
+        prefix of one set)."""
+        locs = [self.rot_keys[self.rotation_galois(r)] for r in rots]
+        common = set(locs[0])
+        for d in locs[1:]:
+            common &= set(d)
+        assert common, "rotations must share one key set"
+        sid = min(common)
+        rows = [d[sid] for d in locs]
+        perms, keys = self._rot_sets[sid]
+        if rows == list(range(len(rows))):
+            return perms[: len(rows)], keys[: len(rows)]
+        idx = np.asarray(rows, dtype=np.int32)
+        return perms[idx], keys[idx]
+
+    def hoisted_rotate_stack(self, x: Ciphertext, digs: jnp.ndarray,
+                             rots: Sequence[int]) -> jnp.ndarray:
+        """Batch of hoisted rotations as ONE vmapped keyswitch body:
+        -> data [len(rots), 2, l, N].  The TPU-native fan-out replacing
+        the reference's OpenMP loop over EvalFastRotation
+        (src/sender/sender_diag.cpp:23-26)."""
+        l = x.limbs
+        perms, keys = self._rot_rows(rots)
+        q, _ = self._qrow(self.q_limbs(l))
+
+        def one(perm, key):
+            pdigs = jnp.take(digs, perm, axis=-1)
+            d0, d1 = self._keyswitch_digits(pdigs, key, l)
+            c0 = jnp.take(x.data[0], perm, axis=-1)
+            return jnp.stack([mm.mod_add(c0, d0, q), d1])
+
+        return jax.vmap(one)(perms, keys)
+
+    def rotate_stack(self, data: jnp.ndarray, rots: Sequence[int],
+                     scale: float) -> jnp.ndarray:
+        """Rotate a stack of ciphertexts [R, 2, l, N] by per-row rotation
+        amounts — one vmapped keyswitch body."""
+        l = data.shape[-2]
+        perms, keys = self._rot_rows(rots)
+        q, _ = self._qrow(self.q_limbs(l))
+
+        def one(d, perm, key):
+            c0 = jnp.take(d[0], perm, axis=-1)
+            c1 = jnp.take(d[1], perm, axis=-1)
+            d0, d1 = self.keyswitch(c1, key)
+            return jnp.stack([mm.mod_add(c0, d0, q), d1])
+
+        return jax.vmap(one)(data, perms, keys)
+
     def eval_sum(self, x: Ciphertext, m: int) -> Ciphertext:
         """Every slot j becomes sum of slots j..j+m-1 (cyclic): log2(m)
-        rotate-and-add steps (reference sumAllSlots / EvalSum)."""
-        i = 1
-        while i < m:
-            x = self.add(x, self.rotate(x, i))
-            i *= 2
-        return x
+        rotate-and-add steps (reference sumAllSlots / EvalSum), run as one
+        scanned keyswitch body over the power-of-two key-set prefix."""
+        if m <= 1:
+            return x
+        steps = int(math.log2(m))
+        rots = [1 << k for k in range(steps)]
+        perms, keys = self._rot_rows(rots)
+        l = x.limbs
+        q, _ = self._qrow(self.q_limbs(l))
+
+        def body(carry, pk):
+            perm, key = pk
+            c0 = jnp.take(carry[0], perm, axis=-1)
+            c1 = jnp.take(carry[1], perm, axis=-1)
+            d0, d1 = self.keyswitch(c1, key)
+            rot = jnp.stack([mm.mod_add(c0, d0, q), d1])
+            return mm.mod_add(carry, rot, q), None
+
+        out, _ = jax.lax.scan(body, x.data, (perms, keys))
+        return Ciphertext(out, x.scale)
 
     # ------------------------------------------------------------------
     # introspection (reference printSchemeDetails / printCipherDetails,

@@ -66,7 +66,7 @@ class DiagDB:
     n1: int  # baby steps (bsgs only)
 
 
-def _encrypt_stack(ctx: CkksContext, values: np.ndarray, chunk: int = 256) -> jnp.ndarray:
+def _encrypt_stack(ctx: CkksContext, values: np.ndarray, chunk: int = 64) -> jnp.ndarray:
     """Encrypt [B, slots] -> [B, 2, L, N] in manageable batches."""
     outs = []
     for i in range(0, values.shape[0], chunk):

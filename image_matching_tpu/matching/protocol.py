@@ -49,7 +49,7 @@ class MatchingProtocol:
         sender = senders.make_sender(approach, ctx, cfg, db)
         receiver = receivers.make_receiver(approach, ctx, cfg, n)
         ctx.gen_power_of_two_rotation_keys()
-        ctx.gen_rotation_keys(sender.required_rotations())
+        ctx.gen_rotation_keys(sender.required_rotations(), force=True)
         return MatchingProtocol(approach, ctx, cfg, sender, receiver)
 
     # protocol phases (timed individually by the latency harness,

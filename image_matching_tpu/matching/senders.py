@@ -34,6 +34,14 @@ from .config import MatchConfig
 from .enrollers import BaseDB, BlindDB, DiagDB, HersDB
 
 
+def _mod_sum_rows(rows: jnp.ndarray, q) -> jnp.ndarray:
+    """Sum a small stack of residue arrays mod q (row count is static)."""
+    acc = rows[0]
+    for i in range(1, rows.shape[0]):
+        acc = mm.mod_add(acc, rows[i], q)
+    return acc
+
+
 def ct_dot(ctx: CkksContext, A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """Sum_k A_k (x) B_k for stacks of 2-component ciphertexts
     [K, 2, l, N] -> unrelinearized 3-component data [3, l, N].
@@ -363,10 +371,9 @@ class BlindSender(Sender):
         def per_matrix(dbd):
             t3 = ct_dot(ctx, Q, dbd)
             ct = ctx.rescale_score(ctx.relinearize(Ciphertext(t3, sq * self.db.scale)))
-            r = 1
-            while r < cl:
-                ct = ctx.add(ct, ctx.rotate(ct, r))
-                r *= 2
+            # log rotate-add over the chunk (scanned power-of-two rotations,
+            # reference src/sender/sender_blind.cpp:76-81)
+            ct = ctx.eval_sum(ct, cl)
             box[0] = ct.scale
             return ct.data
 
@@ -403,12 +410,16 @@ class DiagonalSender(Sender):
         else:
             n1 = dim
         n2 = dim // n1
-        digs = ctx.hoisted_precompute(qct)
-        babies = [qct] + [
-            ctx.hoisted_rotate(qct, digs, b) for b in range(1, n1)
-        ]
-        Q = jnp.stack([b.data for b in babies])  # [n1, 2, l, N]
         sq = qct.scale
+        l = qct.limbs
+        q, _ = ctx._qrow(ctx.q_limbs(l))
+        digs = ctx.hoisted_precompute(qct)
+        # all baby rotations of the query: ONE vmapped hoisted keyswitch
+        if n1 > 1:
+            rot = ctx.hoisted_rotate_stack(qct, digs, list(range(1, n1)))
+            Q = jnp.concatenate([qct.data[None], rot], axis=0)
+        else:
+            Q = qct.data[None]
         box = [None]
 
         def per_group(dbd):  # dbd: [dim, 2, l, N]
@@ -418,17 +429,19 @@ class DiagonalSender(Sender):
                     ctx.relinearize(Ciphertext(t3, sq * self.db.scale))
                 )
             else:
-                acc = None
-                for j in range(n2):
-                    blk = dbd[n1 * j : n1 * (j + 1)]
-                    t3 = ct_dot(ctx, Q, blk)
-                    inner = ctx.relinearize(
-                        Ciphertext(t3, sq * self.db.scale)
-                    )
-                    if j:
-                        inner = ctx.rotate(inner, n1 * j)
-                    acc = inner if acc is None else ctx.add(acc, inner)
-                out = ctx.rescale_score(acc)
+                blocks = dbd.reshape(n2, n1, *dbd.shape[1:])
+                # all inner sums: one vmapped contraction + relin body
+                t3 = jax.vmap(lambda blk: ct_dot(ctx, Q, blk))(blocks)
+                prod_scale = sq * self.db.scale
+                inners = jax.vmap(
+                    lambda d: ctx.relinearize(Ciphertext(d, prod_scale)).data
+                )(t3)  # [n2, 2, l, N]
+                # giant rotations: one vmapped keyswitch over stacked rows
+                rot = ctx.rotate_stack(
+                    inners[1:], [n1 * j for j in range(1, n2)], prod_scale
+                )
+                summed = mm.mod_add(inners[0], _mod_sum_rows(rot, q), q)
+                out = ctx.rescale_score(Ciphertext(summed, prod_scale))
             box[0] = out.scale
             return out.data
 

@@ -86,6 +86,8 @@ class NttPlan:
             ipsis_sh[i] = mm.host_shoup(ip, q)
             ninv[i] = nv
             ninv_sh[i] = mm.host_shoup(np.array(nv, dtype=np.uint32), q)
+        self.psis_np = psis  # host copy (encoding, keygen — trace-safe)
+        self.ipsis_np = ipsis
         self.psis = jnp.asarray(psis)
         self.ipsis = jnp.asarray(ipsis)
         self.psis_sh = jnp.asarray(psis_sh)
@@ -114,8 +116,7 @@ class NttPlan:
         qarr = np.array(self.primes, dtype=np.uint64)
         j = np.arange(n)
 
-        f_u = np.empty((logn, n), dtype=np.int32)
-        f_v = np.empty((logn, n), dtype=np.int32)
+        f_lo = np.empty((logn, n), dtype=bool)
         f_s2 = np.empty((logn, L, n), dtype=np.uint32)
         for s in range(logn):
             m = 1 << s
@@ -123,12 +124,10 @@ class NttPlan:
             g = j // (2 * t)
             p = j % (2 * t)
             lo = p < t
-            f_u[s] = np.where(lo, j, j - t)
-            f_v[s] = np.where(lo, j + t, j)
+            f_lo[s] = lo
             w = psis[:, m + g]  # [L, n]
             f_s2[s] = np.where(lo[None, :], w, (qarr[:, None] - w) % qarr[:, None])
-        self.f_u = jnp.asarray(f_u)
-        self.f_v = jnp.asarray(f_v)
+        self.f_lo = jnp.asarray(f_lo)
         self.f_s2 = jnp.asarray(f_s2)
         self.f_s2_sh = jnp.asarray(
             np.stack([
@@ -137,8 +136,7 @@ class NttPlan:
             ])
         )
 
-        i_u = np.empty((logn, n), dtype=np.int32)
-        i_v = np.empty((logn, n), dtype=np.int32)
+        i_lo = np.empty((logn, n), dtype=bool)
         i_s1 = np.empty((logn, L, n), dtype=np.uint32)
         i_s2 = np.empty((logn, L, n), dtype=np.uint32)
         for s in range(logn):
@@ -148,14 +146,12 @@ class NttPlan:
             g = j // (2 * t)
             p = j % (2 * t)
             lo = p < t
-            i_u[s] = np.where(lo, j, j - t)
-            i_v[s] = np.where(lo, j + t, j)
+            i_lo[s] = lo
             w = ipsis[:, h + g]
             one = np.ones_like(w)
             i_s1[s] = np.where(lo[None, :], one, w)
             i_s2[s] = np.where(lo[None, :], one, (qarr[:, None] - 1) % qarr[:, None])
-        self.i_u = jnp.asarray(i_u)
-        self.i_v = jnp.asarray(i_v)
+        self.i_lo = jnp.asarray(i_lo)
         self.i_s1 = jnp.asarray(i_s1)
         self.i_s2 = jnp.asarray(i_s2)
         self.i_s1_sh = jnp.asarray(
@@ -227,19 +223,30 @@ class NttPlan:
 
     def fwd(self, a: jnp.ndarray, limbs: Tuple[int, ...]) -> jnp.ndarray:
         """Forward negacyclic NTT.  a: [..., L, N] Montgomery-form coeffs
-        (natural order) -> eval form (bit-reversed order).  All stages run
-        under one fori_loop over uniform gather-butterflies."""
+        (natural order) -> eval form (bit-reversed order).
+
+        All log2(N) stages run under one fori_loop of uniform butterflies;
+        the U/V partner exchange is two cyclic rolls + masked selects
+        (lane shifts — TPU-friendly, no gathers), with the subtraction
+        folded into negated twiddles:
+            out = sel_u + s2 * sel_v,
+            sel_u = lo ? x : roll(x, +t),  sel_v = lo ? roll(x, -t) : x.
+        """
         import jax
 
         idx, q = self._consts(limbs)
         s2 = self.f_s2[:, idx]      # [logn, l, n]
         s2_sh = self.f_s2_sh[:, idx]
+        n = self.n
 
         def body(s, x):
-            u = jnp.take(x, self.f_u[s], axis=-1)
-            v = jnp.take(x, self.f_v[s], axis=-1)
-            wv = mm.shoup_mul(v, s2[s], s2_sh[s], q)
-            return mm.mod_add(u, wv, q)
+            t = n >> (s + 1)
+            va = jnp.roll(x, -t, axis=-1)
+            vb = jnp.roll(x, t, axis=-1)
+            lo = self.f_lo[s]
+            u = jnp.where(lo, x, vb)
+            v = jnp.where(lo, va, x)
+            return mm.mod_add(u, mm.shoup_mul(v, s2[s], s2_sh[s], q), q)
 
         return jax.lax.fori_loop(0, self.logn, body, a)
 
@@ -253,12 +260,17 @@ class NttPlan:
         s1_sh = self.i_s1_sh[:, idx]
         s2 = self.i_s2[:, idx]
         s2_sh = self.i_s2_sh[:, idx]
+        n = self.n
 
         def body(s, x):
-            u = jnp.take(x, self.i_u[s], axis=-1)
-            v = jnp.take(x, self.i_v[s], axis=-1)
-            t = mm.mod_add(u, mm.shoup_mul(v, s2[s], s2_sh[s], q), q)
-            return mm.shoup_mul(t, s1[s], s1_sh[s], q)
+            t = n >> (self.logn - s)
+            va = jnp.roll(x, -t, axis=-1)
+            vb = jnp.roll(x, t, axis=-1)
+            lo = self.i_lo[s]
+            u = jnp.where(lo, x, vb)
+            v = jnp.where(lo, va, x)
+            tt = mm.mod_add(u, mm.shoup_mul(v, s2[s], s2_sh[s], q), q)
+            return mm.shoup_mul(tt, s1[s], s1_sh[s], q)
 
         a = jax.lax.fori_loop(0, self.logn, body, a)
         ninv = self.ninv[idx][:, None]
