@@ -142,11 +142,11 @@ class Sender:
                     ]
                     if kind == "membership":
                         out = self.membership_scenario(qcts)
-                        meta["scale"] = out.scale
+                        meta["scales"] = [out.scale]
                         return out.data
                     outs = self.index_scenario(qcts)
-                    meta["scale"] = outs[0].scale
-                    return jnp.stack([o.data for o in outs])
+                    meta["scales"] = [o.scale for o in outs]
+                    return tuple(o.data for o in outs)
                 finally:
                     self.db.data = old
 
@@ -156,12 +156,12 @@ class Sender:
     def run_membership(self, query_cts: List[Ciphertext]) -> Ciphertext:
         fn, meta = self.scenario_runner("membership")
         data = fn(jnp.stack([c.data for c in query_cts]), self.db.data)
-        return Ciphertext(data, meta["scale"])
+        return Ciphertext(data, meta["scales"][0])
 
     def run_index(self, query_cts: List[Ciphertext]) -> List[Ciphertext]:
         fn, meta = self.scenario_runner("index")
-        data = fn(jnp.stack([c.data for c in query_cts]), self.db.data)
-        return [Ciphertext(data[i], meta["scale"]) for i in range(data.shape[0])]
+        datas = fn(jnp.stack([c.data for c in query_cts]), self.db.data)
+        return [Ciphertext(d, s) for d, s in zip(datas, meta["scales"])]
 
 
 class HersSender(Sender):

@@ -40,20 +40,27 @@ def _bit_reverse_perm(n: int) -> np.ndarray:
     return rev
 
 
+def _pow_table(base: int, n: int, q: int) -> np.ndarray:
+    """[base^0, ..., base^{n-1}] mod q, vectorized square-and-multiply."""
+    exps = np.arange(n, dtype=np.uint64)
+    result = np.ones(n, dtype=np.uint64)
+    b = np.uint64(base % q)
+    qq = np.uint64(q)
+    k = 0
+    while (1 << k) < n:
+        mask = (exps >> np.uint64(k)) & np.uint64(1)
+        result = np.where(mask == 1, result * b % qq, result)
+        b = b * b % qq
+        k += 1
+    return result
+
+
 def _psi_tables(n: int, q: int, psi: int):
     """Return (psis, ipsis, ninv): psi^brv(i) and psi^-brv(i) tables plus
     n^{-1}, all standard form, as uint32 numpy arrays."""
     brv = _bit_reverse_perm(n)
-    pows = np.empty(n, dtype=np.uint64)
-    ipows = np.empty(n, dtype=np.uint64)
-    x = 1
-    ipsi = pow(psi, -1, q)
-    y = 1
-    for i in range(n):
-        pows[i] = x
-        ipows[i] = y
-        x = x * psi % q
-        y = y * ipsi % q
+    pows = _pow_table(psi, n, q)
+    ipows = _pow_table(pow(psi, -1, q), n, q)
     psis = pows[brv].astype(np.uint32)
     ipsis = ipows[brv].astype(np.uint32)
     ninv = pow(n, -1, q)
