@@ -25,7 +25,50 @@ REF_MEMBERSHIP = {10: 5.89, 11: 4.46, 12: 4.54, 13: 4.49, 14: 4.52,
                   20: 102.41}
 
 
+def bench_ctmult():
+    """Secondary metric: relinearized ct-ct mult ops/s on one chip."""
+    import time as _t
+
+    import jax
+    from image_matching_tpu.utils.jaxcfg import enable_compilation_cache
+    enable_compilation_cache()
+    from image_matching_tpu.ckks.params import SchemeParams
+    from image_matching_tpu.ckks.context import CkksContext, Ciphertext
+
+    ring = int(os.environ.get("BENCH_RING", "32768"))
+    params = SchemeParams.create(ring_dim=ring, mult_depth=11,
+                                 security="128c" if ring >= 32768 else "none")
+    ctx = CkksContext(params, seed=0)
+    import numpy as np
+    z = np.random.default_rng(0).uniform(-1, 1, (2, ctx.slots))
+    data = ctx.encrypt_batch(z)
+
+    def f(d1, d2):
+        a = Ciphertext(d1, ctx.fresh_scale)
+        b = Ciphertext(d2, ctx.fresh_scale)
+        return ctx.rescale_score(ctx.relinearize(ctx.mul(a, b))).data
+
+    jf = jax.jit(f)
+    out = jf(data[0], data[1])
+    jax.block_until_ready(out)
+    reps = 50
+    t0 = _t.time()
+    for _ in range(reps):
+        out = jf(data[0], data[1])
+    jax.block_until_ready(out)
+    per = (_t.time() - t0) / reps
+    print(json.dumps({
+        "metric": "ct_mult_relin_rescale_ops_per_s",
+        "value": round(1.0 / per, 1),
+        "unit": "ops/s/chip",
+        "vs_baseline": 0.0,
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_METRIC") == "ctmult":
+        bench_ctmult()
+        return
     log2n = int(os.environ.get("BENCH_LOG2N", "13"))
     ring = int(os.environ.get("BENCH_RING", "32768"))
     n = 1 << log2n
