@@ -262,6 +262,46 @@ def eval_poly_ps(ctx: CkksContext, x: Ciphertext, coeffs: Sequence[float]) -> Ci
     return _eval_ps(ctx, basis, coeffs, lambda c, m: (list(c[m:]), list(c[:m])))
 
 
+class BasisShim:
+    """Rebuilds a basis view (B dict + baby_k/giants) from raw arrays —
+    used to carry a Chebyshev/power basis across jit-segment boundaries."""
+
+    def __init__(self, keys, datas, metas, baby_k, giants):
+        self.B = {
+            k: Ciphertext(d, s) for k, d, (l, s) in zip(keys, datas, metas)
+        }
+        self.baby_k = baby_k
+        self.giants = giants
+
+
+def compare_stage_basis(ctx: CkksContext, x: Ciphertext, degree: int):
+    """Stage 1 of chebyshevCompare: build the Chebyshev basis.
+    Returns (tuple of data arrays, static meta)."""
+    basis = _ChebBasis(ctx, x, degree)
+    keys = sorted(basis.B)
+    meta = {
+        "keys": keys,
+        "lims": [(basis.B[k].limbs, basis.B[k].scale) for k in keys],
+        "baby_k": basis.baby_k,
+        "giants": basis.giants,
+    }
+    return tuple(basis.B[k].data for k in keys), meta
+
+
+def compare_stage_series(ctx: CkksContext, datas, meta, coeffs) -> Ciphertext:
+    """Stage 2: evaluate the Chebyshev series from a rebuilt basis."""
+    shim = BasisShim(meta["keys"], datas, meta["lims"], meta["baby_k"],
+                     meta["giants"])
+    c = list(np.asarray(coeffs, dtype=np.float64))
+    return _eval_ps(ctx, shim, c, _cheb_divmod)
+
+
+def compare_stage_f4(ctx: CkksContext, y: Ciphertext) -> Ciphertext:
+    """Stage 3: Cheon f4 composition + the [0,2] shift."""
+    z = eval_poly_ps(ctx, y, F4_COEFS)
+    return ctx.add_scalar(z, 1.0)
+
+
 def chebyshev_compare(ctx: CkksContext, x: Ciphertext, delta: float,
                       sign_depth: int = 10) -> Ciphertext:
     """Approximate x -> {2 if x >= delta, 0 otherwise} — the reference's

@@ -153,15 +153,136 @@ class Sender:
             self._runners[kind] = (jax.jit(fn), meta)
         return self._runners[kind]
 
+    # -- segmented execution: several mid-size jits instead of one giant
+    # graph.  The remote TPU compiler drops the connection on very large
+    # modules, and segments cache better; on CPU the monolithic jit is
+    # kept (tests exercise the single-program path). -------------------
+
+    def _use_segments(self) -> bool:
+        import os
+        if os.environ.get("IMTPU_FORCE_SEGMENTS"):
+            return True
+        return jax.default_backend() != "cpu"
+
+    def _seg(self, key, builder):
+        """Cached jitted segment: builder(meta) -> traceable fn.  The meta
+        dict is created once per cache entry and populated during the
+        first trace (static scales/levels), then reused."""
+        if not hasattr(self, "_segjits"):
+            self._segjits = {}
+        if key not in self._segjits:
+            meta = {}
+            self._segjits[key] = (jax.jit(builder(meta)), meta)
+        return self._segjits[key]
+
+    def _similarity_segment(self, qstack, dbd):
+        def builder(meta):
+            def fn(qs, db):
+                old = self.db.data
+                self.db.data = db
+                try:
+                    qcts = [
+                        Ciphertext(qs[i], self.ctx.fresh_scale)
+                        for i in range(qs.shape[0])
+                    ]
+                    scores = self.compute_similarity(qcts)
+                    meta["scale"] = scores[0].scale
+                    return jnp.stack([s.data for s in scores])
+                finally:
+                    self.db.data = old
+            return fn
+
+        fn, meta = self._seg(("sim", qstack.shape), builder)
+        return fn(qstack, dbd), meta
+
+    def _compare_segments(self, sdata, scale: float, thr: float):
+        """[G, 2, l, N] scores -> (flag stack, flag scale) via three
+        vmapped jit segments (basis build / series / f4)."""
+        ctx, cfg = self.ctx, self.cfg
+        degree = poly_eval.DEPTH_TO_DEGREE[cfg.comp_depth]
+        coeffs = poly_eval.chebyshev_coefficients(
+            lambda v: 1.0 if v >= thr else -1.0, degree
+        )
+        kbase = (thr, scale, sdata.shape)
+
+        def b_basis(meta):
+            def fn(stack):
+                def one(d):
+                    datas, m = poly_eval.compare_stage_basis(
+                        ctx, Ciphertext(d, scale), degree
+                    )
+                    meta.update(m)
+                    return datas
+                return jax.vmap(one)(stack)
+            return fn
+
+        fnB, metaB = self._seg(("cmp_basis",) + kbase, b_basis)
+        bstacks = fnB(sdata)
+
+        def b_series(meta):
+            def fn(stacks):
+                def one(*datas):
+                    y = poly_eval.compare_stage_series(ctx, datas, metaB, coeffs)
+                    meta["scale"] = y.scale
+                    return y.data
+                return jax.vmap(one)(*stacks)
+            return fn
+
+        fnS, metaS = self._seg(("cmp_series",) + kbase, b_series)
+        ystack = fnS(bstacks)
+
+        def b_f4(meta):
+            def fn(ys):
+                def one(d):
+                    out = poly_eval.compare_stage_f4(
+                        ctx, Ciphertext(d, metaS["scale"])
+                    )
+                    meta["scale"] = out.scale
+                    return out.data
+                return jax.vmap(one)(ys)
+            return fn
+
+        fnF, metaF = self._seg(("cmp_f4",) + kbase, b_f4)
+        return fnF(ystack), metaF["scale"]
+
+    def _reduce_segment(self, fstack, fscale: float):
+        def builder(meta):
+            def fn(fs):
+                flags = [
+                    Ciphertext(fs[i], fscale) for i in range(fs.shape[0])
+                ]
+                out = self._membership_reduce(flags)
+                meta["scale"] = out.scale
+                return out.data
+            return fn
+
+        fn, meta = self._seg(("reduce", fscale, fstack.shape), builder)
+        return fn(fstack), meta
+
     def run_membership(self, query_cts: List[Ciphertext]) -> Ciphertext:
-        fn, meta = self.scenario_runner("membership")
-        data = fn(jnp.stack([c.data for c in query_cts]), self.db.data)
-        return Ciphertext(data, meta["scales"][0])
+        qstack = jnp.stack([c.data for c in query_cts])
+        if not self._use_segments():
+            fn, meta = self.scenario_runner("membership")
+            data = fn(qstack, self.db.data)
+            return Ciphertext(data, meta["scales"][0])
+        sdata, smeta = self._similarity_segment(qstack, self.db.data)
+        fstack, fscale = self._compare_segments(
+            sdata, smeta["scale"], self.cfg.match_threshold
+        )
+        data, meta = self._reduce_segment(fstack, fscale)
+        return Ciphertext(data, meta["scale"])
 
     def run_index(self, query_cts: List[Ciphertext]) -> List[Ciphertext]:
-        fn, meta = self.scenario_runner("index")
-        datas = fn(jnp.stack([c.data for c in query_cts]), self.db.data)
-        return [Ciphertext(d, s) for d, s in zip(datas, meta["scales"])]
+        qstack = jnp.stack([c.data for c in query_cts])
+        if not self._use_segments():
+            fn, meta = self.scenario_runner("index")
+            datas = fn(qstack, self.db.data)
+            return [Ciphertext(d, s) for d, s in zip(datas, meta["scales"])]
+        sdata, smeta = self._similarity_segment(qstack, self.db.data)
+        fstack, fscale = self._compare_segments(
+            sdata, smeta["scale"], self.cfg.match_threshold
+        )
+        return [Ciphertext(fstack[i], fscale) for i in range(fstack.shape[0])]
 
 
 class HersSender(Sender):
@@ -352,6 +473,47 @@ class GroteSender(BaseSender):
         for _ in range(self.cfg.alpha_depth):
             thr = thr * thr
         return self._compare_many_with(rows, thr) + self._compare_many_with(cols, thr)
+
+    def run_index(self, query_cts: List[Ciphertext]) -> List[Ciphertext]:
+        if not self._use_segments():
+            return Sender.run_index(self, query_cts)
+        ctx = self.ctx
+        qstack = jnp.stack([c.data for c in query_cts])
+        batch = ctx.slots
+        row_len = 2 ** math.ceil(math.log2(batch) / 2)
+
+        def builder(meta):
+            def fn(qs, db):
+                old = self.db.data
+                self.db.data = db
+                try:
+                    qcts = [
+                        Ciphertext(qs[i], ctx.fresh_scale)
+                        for i in range(qs.shape[0])
+                    ]
+                    scores = self.compute_similarity(qcts)
+                    rows = self.alpha_norm_rows(scores, row_len)
+                    cols = self.alpha_norm_columns(scores, row_len)
+                    meta["r"] = rows[0].scale
+                    meta["c"] = cols[0].scale
+                    return (
+                        jnp.stack([r.data for r in rows]),
+                        jnp.stack([c.data for c in cols]),
+                    )
+                finally:
+                    self.db.data = old
+            return fn
+
+        fn, meta = self._seg(("grote_alpha", qstack.shape), builder)
+        rstack, cstack = fn(qstack, self.db.data)
+        thr = self.cfg.match_threshold
+        for _ in range(self.cfg.alpha_depth):
+            thr = thr * thr
+        rf, rs = self._compare_segments(rstack, meta["r"], thr)
+        cf, cs = self._compare_segments(cstack, meta["c"], thr)
+        return [Ciphertext(rf[i], rs) for i in range(rf.shape[0])] + [
+            Ciphertext(cf[i], cs) for i in range(cf.shape[0])
+        ]
 
 
 class BlindSender(Sender):

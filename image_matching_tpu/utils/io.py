@@ -65,14 +65,17 @@ def gen_identity_dataset(n_ids: int, per_id: int, n_queries: int,
     rng = np.random.default_rng(seed)
     protos = rng.normal(size=(n_ids, vector_dim))
     protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    # per-component noise scaled so same-identity cosine ~ 1/(1+noise^2)
+    # independent of dimension
+    sd = noise / np.sqrt(vector_dim)
     db = []
     db_ids = []
     for i in range(n_ids):
         for _ in range(per_id):
-            v = protos[i] + noise * rng.normal(size=vector_dim)
+            v = protos[i] + sd * rng.normal(size=vector_dim)
             db.append(v)
             db_ids.append(i)
     qids = rng.integers(0, n_ids, size=n_queries)
-    queries = protos[qids] + noise * rng.normal(size=(n_queries, vector_dim))
+    queries = protos[qids] + sd * rng.normal(size=(n_queries, vector_dim))
     return (np.array(db), np.array(db_ids, dtype=np.int64),
             queries, qids.astype(np.int64))

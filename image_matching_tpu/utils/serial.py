@@ -36,9 +36,16 @@ def save_context(ctx: CkksContext, dirpath: str):
         "pk_a": np.asarray(ctx.pk_a),
         "relin_key": np.asarray(ctx.relin_key),
     }
-    for g, k in ctx.rot_keys.items():
-        arrays[f"rotkey_{g}"] = np.asarray(k)
+    for i, (perms, keys) in enumerate(ctx._rot_sets):
+        arrays[f"rotset_{i}_perms"] = np.asarray(perms)
+        arrays[f"rotset_{i}_keys"] = np.asarray(keys)
     np.savez(os.path.join(dirpath, "keys.npz"), **arrays)
+    with open(os.path.join(dirpath, "rotmap.json"), "w") as f:
+        json.dump(
+            {str(g): {str(s): r for s, r in locs.items()}
+             for g, locs in ctx.rot_keys.items()},
+            f,
+        )
 
 
 def load_context(dirpath: str, seed: int = 0) -> CkksContext:
@@ -55,11 +62,16 @@ def load_context(dirpath: str, seed: int = 0) -> CkksContext:
     ctx.pk_b = jnp.asarray(z["pk_b"])
     ctx.pk_a = jnp.asarray(z["pk_a"])
     ctx.relin_key = jnp.asarray(z["relin_key"])
-    ctx.rot_keys = {
-        int(k.split("_")[1]): jnp.asarray(z[k])
-        for k in z.files
-        if k.startswith("rotkey_")
-    }
+    n_sets = sum(1 for k in z.files if k.endswith("_perms"))
+    ctx._rot_sets = [
+        (jnp.asarray(z[f"rotset_{i}_perms"]), jnp.asarray(z[f"rotset_{i}_keys"]))
+        for i in range(n_sets)
+    ]
+    with open(os.path.join(dirpath, "rotmap.json")) as f:
+        ctx.rot_keys = {
+            int(g): {int(s): r for s, r in locs.items()}
+            for g, locs in json.load(f).items()
+        }
     return ctx
 
 
