@@ -21,6 +21,7 @@ scale drift even with 28-bit primes.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 import math
@@ -120,6 +121,48 @@ class CkksContext:
         self._pow2_rots: List[int] = []
         self._pt_cache: Dict = {}
         self._fbc_cache: Dict = {}
+
+    # ------------------------------------------------------------------
+    # device-state threading: all large device buffers (NTT tables, keys)
+    # are passed into jitted functions as ARGUMENTS via this pytree, not
+    # captured as closure constants — closure constants get embedded in
+    # the serialized module, which breaks the remote TPU compiler on
+    # multi-GB keys (HTTP 413) and bloats compile cache hashing.
+    # ------------------------------------------------------------------
+
+    _PLAN_BUFS = (
+        "psis", "ipsis", "psis_sh", "ipsis_sh", "ninv", "ninv_sh", "q",
+        "f_lo", "f_s2", "f_s2_sh", "i_lo", "i_s1", "i_s2", "i_s1_sh",
+        "i_s2_sh",
+    )
+    _CTX_BUFS = ("qs", "qneg", "r2", "pow16", "s_eval", "pk_b", "pk_a",
+                 "relin_key")
+
+    def device_state(self):
+        return {
+            "plan": {k: getattr(self.plan, k) for k in self._PLAN_BUFS},
+            "ctx": {k: getattr(self, k) for k in self._CTX_BUFS},
+            "rot": [list(t) for t in self._rot_sets],
+        }
+
+    @contextlib.contextmanager
+    def bound_state(self, state):
+        old_p = {k: getattr(self.plan, k) for k in self._PLAN_BUFS}
+        old_c = {k: getattr(self, k) for k in self._CTX_BUFS}
+        old_r = self._rot_sets
+        try:
+            for k, v in state["plan"].items():
+                setattr(self.plan, k, v)
+            for k, v in state["ctx"].items():
+                setattr(self, k, v)
+            self._rot_sets = [tuple(t) for t in state["rot"]]
+            yield
+        finally:
+            for k, v in old_p.items():
+                setattr(self.plan, k, v)
+            for k, v in old_c.items():
+                setattr(self, k, v)
+            self._rot_sets = old_r
 
     # ------------------------------------------------------------------
     # constant helpers
@@ -358,7 +401,7 @@ class CkksContext:
         coeffs = encoding.encode(values, self.n, sc)  # [B, n]
         m_rns = encoding.to_rns(coeffs, primes)  # [B, l, n] std
         key = jax.random.key(int(self._rng.integers(0, 2 ** 63)))
-        return self._encrypt_dev(jnp.asarray(m_rns), key, l)
+        return self._encrypt_dev(self.device_state(), jnp.asarray(m_rns), key, l)
 
     def _small_signed_to_rns(self, x, l):
         """Device: small signed int32 [..., n] -> standard residues
@@ -368,8 +411,12 @@ class CkksContext:
         xe = x[..., None, :].astype(jnp.int32)
         return jnp.where(xe < 0, q.astype(jnp.int32) + xe, xe).astype(jnp.uint32)
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _encrypt_dev(self, m_rns, key, l):
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _encrypt_dev(self, state, m_rns, key, l):
+        with self.bound_state(state):
+            return self._encrypt_impl(m_rns, key, l)
+
+    def _encrypt_impl(self, m_rns, key, l):
         lim = self.q_limbs(l)
         q, qneg = self._qrow(lim)
         r2 = self.r2[np.asarray(lim, dtype=np.int32)][:, None]
@@ -399,7 +446,11 @@ class CkksContext:
         return Ciphertext(data, scale if scale is not None else self.fresh_scale)
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _decrypt_dev(self, data):
+    def _decrypt_dev(self, state, data):
+        with self.bound_state(state):
+            return self._decrypt_impl(data)
+
+    def _decrypt_impl(self, data):
         k, l = data.shape[-3], data.shape[-2]
         lim = self.q_limbs(l)
         q, qneg = self._qrow(lim)
@@ -417,7 +468,7 @@ class CkksContext:
 
     def decrypt_coeffs(self, ct: Ciphertext) -> np.ndarray:
         """-> centered float64 coefficient vector [n]."""
-        std = np.asarray(self._decrypt_dev(ct.data))
+        std = np.asarray(self._decrypt_dev(self.device_state(), ct.data))
         primes = [self.all_primes[i] for i in range(ct.limbs)]
         return encoding.from_rns_centered(std[None, ...], primes)[0]
 

@@ -132,21 +132,22 @@ class Sender:
         if kind not in self._runners:
             meta = {}
 
-            def fn(qstack, dbd):
+            def fn(state, qstack, dbd):
                 old = self.db.data
                 self.db.data = dbd
                 try:
-                    qcts = [
-                        Ciphertext(qstack[i], self.ctx.fresh_scale)
-                        for i in range(qstack.shape[0])
-                    ]
-                    if kind == "membership":
-                        out = self.membership_scenario(qcts)
-                        meta["scales"] = [out.scale]
-                        return out.data
-                    outs = self.index_scenario(qcts)
-                    meta["scales"] = [o.scale for o in outs]
-                    return tuple(o.data for o in outs)
+                    with self.ctx.bound_state(state):
+                        qcts = [
+                            Ciphertext(qstack[i], self.ctx.fresh_scale)
+                            for i in range(qstack.shape[0])
+                        ]
+                        if kind == "membership":
+                            out = self.membership_scenario(qcts)
+                            meta["scales"] = [out.scale]
+                            return out.data
+                        outs = self.index_scenario(qcts)
+                        meta["scales"] = [o.scale for o in outs]
+                        return tuple(o.data for o in outs)
                 finally:
                     self.db.data = old
 
@@ -177,23 +178,24 @@ class Sender:
 
     def _similarity_segment(self, qstack, dbd):
         def builder(meta):
-            def fn(qs, db):
+            def fn(state, qs, db):
                 old = self.db.data
                 self.db.data = db
                 try:
-                    qcts = [
-                        Ciphertext(qs[i], self.ctx.fresh_scale)
-                        for i in range(qs.shape[0])
-                    ]
-                    scores = self.compute_similarity(qcts)
-                    meta["scale"] = scores[0].scale
-                    return jnp.stack([s.data for s in scores])
+                    with self.ctx.bound_state(state):
+                        qcts = [
+                            Ciphertext(qs[i], self.ctx.fresh_scale)
+                            for i in range(qs.shape[0])
+                        ]
+                        scores = self.compute_similarity(qcts)
+                        meta["scale"] = scores[0].scale
+                        return jnp.stack([s.data for s in scores])
                 finally:
                     self.db.data = old
             return fn
 
         fn, meta = self._seg(("sim", qstack.shape), builder)
-        return fn(qstack, dbd), meta
+        return fn(self.ctx.device_state(), qstack, dbd), meta
 
     def _compare_segments(self, sdata, scale: float, thr: float):
         """[G, 2, l, N] scores -> (flag stack, flag scale) via three
@@ -206,64 +208,68 @@ class Sender:
         kbase = (thr, scale, sdata.shape)
 
         def b_basis(meta):
-            def fn(stack):
-                def one(d):
-                    datas, m = poly_eval.compare_stage_basis(
-                        ctx, Ciphertext(d, scale), degree
-                    )
-                    meta.update(m)
-                    return datas
-                return jax.vmap(one)(stack)
+            def fn(state, stack):
+                with ctx.bound_state(state):
+                    def one(d):
+                        datas, m = poly_eval.compare_stage_basis(
+                            ctx, Ciphertext(d, scale), degree
+                        )
+                        meta.update(m)
+                        return datas
+                    return jax.vmap(one)(stack)
             return fn
 
         fnB, metaB = self._seg(("cmp_basis",) + kbase, b_basis)
-        bstacks = fnB(sdata)
+        bstacks = fnB(ctx.device_state(), sdata)
 
         def b_series(meta):
-            def fn(stacks):
-                def one(*datas):
-                    y = poly_eval.compare_stage_series(ctx, datas, metaB, coeffs)
-                    meta["scale"] = y.scale
-                    return y.data
-                return jax.vmap(one)(*stacks)
+            def fn(state, stacks):
+                with ctx.bound_state(state):
+                    def one(*datas):
+                        y = poly_eval.compare_stage_series(ctx, datas, metaB, coeffs)
+                        meta["scale"] = y.scale
+                        return y.data
+                    return jax.vmap(one)(*stacks)
             return fn
 
         fnS, metaS = self._seg(("cmp_series",) + kbase, b_series)
-        ystack = fnS(bstacks)
+        ystack = fnS(ctx.device_state(), bstacks)
 
         def b_f4(meta):
-            def fn(ys):
-                def one(d):
-                    out = poly_eval.compare_stage_f4(
-                        ctx, Ciphertext(d, metaS["scale"])
-                    )
-                    meta["scale"] = out.scale
-                    return out.data
-                return jax.vmap(one)(ys)
+            def fn(state, ys):
+                with ctx.bound_state(state):
+                    def one(d):
+                        out = poly_eval.compare_stage_f4(
+                            ctx, Ciphertext(d, metaS["scale"])
+                        )
+                        meta["scale"] = out.scale
+                        return out.data
+                    return jax.vmap(one)(ys)
             return fn
 
         fnF, metaF = self._seg(("cmp_f4",) + kbase, b_f4)
-        return fnF(ystack), metaF["scale"]
+        return fnF(ctx.device_state(), ystack), metaF["scale"]
 
     def _reduce_segment(self, fstack, fscale: float):
         def builder(meta):
-            def fn(fs):
-                flags = [
-                    Ciphertext(fs[i], fscale) for i in range(fs.shape[0])
-                ]
-                out = self._membership_reduce(flags)
-                meta["scale"] = out.scale
-                return out.data
+            def fn(state, fs):
+                with self.ctx.bound_state(state):
+                    flags = [
+                        Ciphertext(fs[i], fscale) for i in range(fs.shape[0])
+                    ]
+                    out = self._membership_reduce(flags)
+                    meta["scale"] = out.scale
+                    return out.data
             return fn
 
         fn, meta = self._seg(("reduce", fscale, fstack.shape), builder)
-        return fn(fstack), meta
+        return fn(self.ctx.device_state(), fstack), meta
 
     def run_membership(self, query_cts: List[Ciphertext]) -> Ciphertext:
         qstack = jnp.stack([c.data for c in query_cts])
         if not self._use_segments():
             fn, meta = self.scenario_runner("membership")
-            data = fn(qstack, self.db.data)
+            data = fn(self.ctx.device_state(), qstack, self.db.data)
             return Ciphertext(data, meta["scales"][0])
         sdata, smeta = self._similarity_segment(qstack, self.db.data)
         fstack, fscale = self._compare_segments(
@@ -276,7 +282,7 @@ class Sender:
         qstack = jnp.stack([c.data for c in query_cts])
         if not self._use_segments():
             fn, meta = self.scenario_runner("index")
-            datas = fn(qstack, self.db.data)
+            datas = fn(self.ctx.device_state(), qstack, self.db.data)
             return [Ciphertext(d, s) for d, s in zip(datas, meta["scales"])]
         sdata, smeta = self._similarity_segment(qstack, self.db.data)
         fstack, fscale = self._compare_segments(
@@ -483,29 +489,30 @@ class GroteSender(BaseSender):
         row_len = 2 ** math.ceil(math.log2(batch) / 2)
 
         def builder(meta):
-            def fn(qs, db):
+            def fn(state, qs, db):
                 old = self.db.data
                 self.db.data = db
                 try:
-                    qcts = [
-                        Ciphertext(qs[i], ctx.fresh_scale)
-                        for i in range(qs.shape[0])
-                    ]
-                    scores = self.compute_similarity(qcts)
-                    rows = self.alpha_norm_rows(scores, row_len)
-                    cols = self.alpha_norm_columns(scores, row_len)
-                    meta["r"] = rows[0].scale
-                    meta["c"] = cols[0].scale
-                    return (
-                        jnp.stack([r.data for r in rows]),
-                        jnp.stack([c.data for c in cols]),
-                    )
+                    with ctx.bound_state(state):
+                        qcts = [
+                            Ciphertext(qs[i], ctx.fresh_scale)
+                            for i in range(qs.shape[0])
+                        ]
+                        scores = self.compute_similarity(qcts)
+                        rows = self.alpha_norm_rows(scores, row_len)
+                        cols = self.alpha_norm_columns(scores, row_len)
+                        meta["r"] = rows[0].scale
+                        meta["c"] = cols[0].scale
+                        return (
+                            jnp.stack([r.data for r in rows]),
+                            jnp.stack([c.data for c in cols]),
+                        )
                 finally:
                     self.db.data = old
             return fn
 
         fn, meta = self._seg(("grote_alpha", qstack.shape), builder)
-        rstack, cstack = fn(qstack, self.db.data)
+        rstack, cstack = fn(ctx.device_state(), qstack, self.db.data)
         thr = self.cfg.match_threshold
         for _ in range(self.cfg.alpha_depth):
             thr = thr * thr

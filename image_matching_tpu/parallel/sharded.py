@@ -69,37 +69,38 @@ class ShardedScenario:
         mesh, axis = self.mesh, self.axis
         meta = {}
 
-        def local(db_local, qstack):
+        def local(state, db_local, qstack):
             old = sender.db.data
             sender.db.data = db_local
             try:
-                qcts = [
-                    Ciphertext(qstack[i], ctx.fresh_scale)
-                    for i in range(qstack.shape[0])
-                ]
-                scores = sender.compute_similarity(qcts)
-                flags = sender._compare_many(scores)
-                if kind == "membership":
-                    acc = flags[0]
-                    for f in flags[1:]:
-                        acc = ctx.add(acc, f)
-                    l = acc.limbs
-                    q, qneg = ctx._qrow(ctx.q_limbs(l))
-                    p16 = ctx.pow16[:, :l][:, :, None]
-                    summed = psum_mod(acc.data, q, qneg, p16, axis)
-                    out = ctx.eval_sum(Ciphertext(summed, acc.scale), ctx.slots)
-                    meta["scale"] = out.scale
-                    return out.data
-                meta["scale"] = flags[0].scale
-                return jnp.stack([f.data for f in flags])
+                with ctx.bound_state(state):
+                    qcts = [
+                        Ciphertext(qstack[i], ctx.fresh_scale)
+                        for i in range(qstack.shape[0])
+                    ]
+                    scores = sender.compute_similarity(qcts)
+                    flags = sender._compare_many(scores)
+                    if kind == "membership":
+                        acc = flags[0]
+                        for f in flags[1:]:
+                            acc = ctx.add(acc, f)
+                        l = acc.limbs
+                        q, qneg = ctx._qrow(ctx.q_limbs(l))
+                        p16 = ctx.pow16[:, :l][:, :, None]
+                        summed = psum_mod(acc.data, q, qneg, p16, axis)
+                        out = ctx.eval_sum(Ciphertext(summed, acc.scale), ctx.slots)
+                        meta["scale"] = out.scale
+                        return out.data
+                    meta["scale"] = flags[0].scale
+                    return jnp.stack([f.data for f in flags])
             finally:
                 sender.db.data = old
 
         out_spec = P() if kind == "membership" else P(axis)
         fn = jax.jit(
             jax.shard_map(
-                local, mesh=mesh, in_specs=(P(axis), P()), out_specs=out_spec,
-                check_vma=False,
+                local, mesh=mesh, in_specs=(P(), P(axis), P()),
+                out_specs=out_spec, check_vma=False,
             )
         )
         return fn, meta
@@ -109,7 +110,7 @@ class ShardedScenario:
             self._fns["membership"] = self._build("membership")
         fn, meta = self._fns["membership"]
         qstack = jnp.stack([c.data for c in query_cts])
-        data = fn(self.sender.db.data, qstack)
+        data = fn(self.sender.ctx.device_state(), self.sender.db.data, qstack)
         return Ciphertext(data, meta["scale"])
 
     def index(self, query_cts: List[Ciphertext]) -> List[Ciphertext]:
@@ -117,5 +118,5 @@ class ShardedScenario:
             self._fns["index"] = self._build("index")
         fn, meta = self._fns["index"]
         qstack = jnp.stack([c.data for c in query_cts])
-        data = fn(self.sender.db.data, qstack)
+        data = fn(self.sender.ctx.device_state(), self.sender.db.data, qstack)
         return [Ciphertext(data[i], meta["scale"]) for i in range(data.shape[0])]
