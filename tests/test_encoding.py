@@ -31,7 +31,7 @@ def test_galois_5_rotates_left():
             else:
                 b[e - N] -= a[j]
         back = enc.decode(b.astype(np.float64), N, scale)
-        np.testing.assert_allclose(back[0], np.roll(z, -r), atol=1e-6)
+        np.testing.assert_allclose(back, np.roll(z, -r), atol=1e-6)
 
 
 def test_rns_roundtrip_fast_and_exact():
