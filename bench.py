@@ -65,8 +65,40 @@ def bench_ctmult():
     }))
 
 
+def _device_warmup_or_reexec(timeout_s: float = 180.0):
+    """The remote TPU session occasionally wedges at claim time (a grant
+    lost by a previous client).  Probe the device with a watchdog; if the
+    first op never completes, re-exec this process for a fresh client."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    ok = []
+
+    def warm():
+        jax.block_until_ready(jnp.ones((8, 128), jnp.uint32) * 2)
+        ok.append(1)
+
+    t = threading.Thread(target=warm, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if ok:
+        return
+    attempt = int(os.environ.get("IMTPU_BENCH_ATTEMPT", "0"))
+    if attempt >= 5:
+        print(json.dumps({"metric": "error_tpu_session_wedged", "value": 0,
+                          "unit": "", "vs_baseline": 0}))
+        sys.exit(3)
+    print(f"# TPU session wedged; re-exec attempt {attempt + 1}", file=sys.stderr)
+    os.environ["IMTPU_BENCH_ATTEMPT"] = str(attempt + 1)
+    time.sleep(90)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     if os.environ.get("BENCH_METRIC") == "ctmult":
+        _device_warmup_or_reexec()
         bench_ctmult()
         return
     log2n = int(os.environ.get("BENCH_LOG2N", "13"))
@@ -87,6 +119,7 @@ def main():
         ring_dim=ring, mult_depth=depth,
         security="128c" if ring >= 32768 else "none",
     )
+    _device_warmup_or_reexec()
     query, db = dio.gen_dataset(n, cfg.vector_dim, seed=0)
 
     t0 = time.time()
