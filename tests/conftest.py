@@ -10,6 +10,11 @@ jax.config before any backend is initialized pins tests to local CPU.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Segmented scenario execution: membership and index share the similarity
+# and compare jit segments (and approaches with equal shapes share compare
+# compilations), so the suite compiles far less than with one monolithic
+# XLA program per scenario.
+os.environ.setdefault("IMTPU_FORCE_SEGMENTS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -18,7 +18,7 @@ RING = 512
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 def test_sharded_diag_membership_matches_single():
     n_dev = 2
-    cfg = MatchConfig(vector_dim=DIM, chunk_len=16)
+    cfg = MatchConfig(vector_dim=DIM, chunk_len=16, comp_depth=8)
     depth = compute_required_depth(5, cfg.comp_depth, cfg.alpha_depth)
     params = SchemeParams.create(ring_dim=RING, mult_depth=depth, security="none")
     ctx = CkksContext(params, seed=8)
