@@ -50,6 +50,77 @@ def chebyshev_coefficients(f, degree: int, a: float = -1.0, b: float = 1.0) -> n
     return c
 
 
+class _DryCt:
+    """Metadata-only ciphertext (limbs, scale) for dry-run depth/scale
+    planning of the Paterson-Stockmeyer recursion."""
+
+    __slots__ = ("limbs", "scale", "ncomp")
+
+    def __init__(self, limbs: int, scale: float, ncomp: int = 2):
+        self.limbs = limbs
+        self.scale = scale
+        self.ncomp = ncomp
+
+
+class _DryCtx:
+    """Mirror of CkksContext's scale/limb bookkeeping with no data: runs
+    _ChebBasis/_PowerBasis/_eval_ps symbolically so a (baby size k)
+    configuration can be validated — same asserts, zero compute.  Exact:
+    the real evaluator derives every scale with the same float64
+    arithmetic against the same prime chain."""
+
+    def __init__(self, all_primes, scale: float):
+        self.all_primes = all_primes
+        self.params = type("P", (), {"scale": scale})()
+
+    def _chk(self, a: float, b: float):
+        if abs(math.log2(a) - math.log2(b)) > 1e-6:
+            raise ValueError(f"scale mismatch: {a} vs {b}")
+
+    def add(self, x, y):
+        l = min(x.limbs, y.limbs)
+        self._chk(x.scale, y.scale)
+        return _DryCt(l, x.scale, max(x.ncomp, y.ncomp))
+
+    def add_scalar(self, x, c):
+        return _DryCt(x.limbs, x.scale, x.ncomp)
+
+    def neg(self, x):
+        return _DryCt(x.limbs, x.scale, x.ncomp)
+
+    def drop_to(self, x, l):
+        assert x.limbs >= l
+        return _DryCt(l, x.scale, x.ncomp)
+
+    def rescale(self, x):
+        assert x.limbs >= 2, "cannot rescale below guard level"
+        return _DryCt(x.limbs - 1, x.scale / self.all_primes[x.limbs - 1], x.ncomp)
+
+    def square(self, x):
+        return _DryCt(x.limbs, x.scale * x.scale, 3)
+
+    def mul(self, x, y):
+        l = min(x.limbs, y.limbs)
+        return _DryCt(l, x.scale * y.scale, 3)
+
+    def relinearize(self, x):
+        return _DryCt(x.limbs, x.scale, 2)
+
+    def mul_relin(self, x, y):
+        return self.relinearize(self.mul(x, y))
+
+    def mul_scalar(self, x, c, sigma):
+        return _DryCt(x.limbs, x.scale * sigma, x.ncomp)
+
+    def align_to(self, x, limbs, scale):
+        if x.limbs == limbs and abs(math.log2(x.scale / scale)) < 1e-9:
+            return x
+        if abs(math.log2(x.scale / scale)) < 1e-9:
+            return self.drop_to(x, limbs)
+        assert x.limbs > limbs, "no spare level for scale alignment"
+        return _DryCt(limbs, scale, x.ncomp)
+
+
 def _smart_add(ctx: CkksContext, x: Ciphertext, y: Ciphertext) -> Ciphertext:
     """Add with automatic exact alignment of (limbs, scale)."""
     if x.limbs == y.limbs and abs(math.log2(x.scale / y.scale)) < 1e-9:
@@ -130,6 +201,14 @@ def _cheb_divmod(c: List[float], m: int):
 _MIN_SIGMA = float(2 ** 24)  # minimum plaintext scale for coefficient precision
 
 
+def _retag(ct, scale: float):
+    """Same ciphertext with its scale metadata replaced (exact-by-
+    construction adjustments).  Works for real and dry ciphertexts."""
+    if isinstance(ct, Ciphertext):
+        return Ciphertext(ct.data, scale)
+    return _DryCt(ct.limbs, scale, ct.ncomp)
+
+
 def _term_to(ctx: CkksContext, ct: Ciphertext, c: float, tgt_l: int,
              tgt_s: float) -> Ciphertext:
     """c * ct brought to exactly (tgt_l, tgt_s) via a coefficient multiply
@@ -144,7 +223,7 @@ def _term_to(ctx: CkksContext, ct: Ciphertext, c: float, tgt_l: int,
     t = ctx.mul_scalar(ctx.drop_to(ct, tgt_l + j), float(c), sigma)
     for _ in range(j):
         t = ctx.rescale(t)
-    return Ciphertext(t.data, tgt_s)  # exact by construction of sigma
+    return _retag(t, tgt_s)  # exact by construction of sigma
 
 
 def _combo(ctx: CkksContext, basis: Dict[int, Ciphertext],
@@ -192,12 +271,56 @@ def _eval_ps(ctx: CkksContext, basis, coeffs: List[float], divmod_fn) -> Ciphert
         prod = ctx.mul_relin(qq, tm)
         for _ in range(tm.limbs - tgt_l):
             prod = ctx.rescale(prod)
-        prod = Ciphertext(prod.data, tgt_s)  # exact by construction of s_q
+        prod = _retag(prod, tgt_s)  # exact by construction of s_q
         rr = rec(rc, tgt_l, tgt_s)
         return ctx.add(prod, rr)
 
     top_l = min(b.limbs for b in basis.B.values()) - 1
     return rec(coeffs, top_l, ctx.params.scale)
+
+
+_PLAN_CACHE: Dict = {}
+
+
+def plan_baby_k(ctx: CkksContext, limbs: int, scale: float,
+                coeffs: Sequence[float], basis_cls, divmod_fn) -> int:
+    """Pick the baby-step size k for Paterson-Stockmeyer by dry-running
+    the exact recursion on (limbs, scale) metadata for each candidate and
+    keeping the shallowest (then smallest-basis) one that satisfies every
+    scale/headroom constraint.
+
+    A fixed k cannot work across the reference's whole signDepth 7..15
+    range (DEPTH_TO_DEGREE, reference src/openFHE_wrapper.cpp:153-155):
+    e.g. degree 13 with k=8 has no giant step, so the PS quotient lands at
+    the deepest babies' level with ~unit coefficient scale — either a
+    precision cliff or a burned level.  Planning per (degree, input level)
+    finds the depth-optimal split mechanically."""
+    key = (limbs, round(math.log2(scale) * 1e6), len(coeffs),
+           round(float(np.sum(np.asarray(coeffs))) * 1e9), basis_cls.__name__)
+    if key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
+    deg = len(coeffs) - 1
+    dry = _DryCtx(ctx.all_primes, ctx.params.scale)
+    best = None
+    k = 2
+    while k <= max(2, deg):
+        try:
+            basis = basis_cls(dry, _DryCt(limbs, scale), deg, k=k)
+            out = _eval_ps(dry, basis, list(coeffs), divmod_fn)
+            depth = limbs - out.limbs
+            cost = (depth, len(basis.B), k)
+            if best is None or cost < best:
+                best = cost
+        except (AssertionError, ValueError):
+            pass
+        k *= 2
+    if best is None:
+        raise ValueError(
+            f"no viable Paterson-Stockmeyer split for degree {deg} at "
+            f"{limbs} limbs, scale 2^{math.log2(scale):.1f}"
+        )
+    _PLAN_CACHE[key] = best[2]
+    return best[2]
 
 
 def eval_chebyshev_series(ctx: CkksContext, x: Ciphertext, coeffs: Sequence[float]) -> Ciphertext:
@@ -207,7 +330,8 @@ def eval_chebyshev_series(ctx: CkksContext, x: Ciphertext, coeffs: Sequence[floa
     while len(coeffs) > 1 and abs(coeffs[-1]) < 1e-13:
         coeffs.pop()
     deg = len(coeffs) - 1
-    basis = _ChebBasis(ctx, x, deg)
+    k = plan_baby_k(ctx, x.limbs, x.scale, coeffs, _ChebBasis, _cheb_divmod)
+    basis = _ChebBasis(ctx, x, deg, k=k)
     return _eval_ps(ctx, basis, coeffs, _cheb_divmod)
 
 
@@ -258,8 +382,10 @@ def eval_poly_ps(ctx: CkksContext, x: Ciphertext, coeffs: Sequence[float]) -> Ci
     while len(coeffs) > 1 and abs(coeffs[-1]) < 1e-13:
         coeffs.pop()
     deg = len(coeffs) - 1
-    basis = _PowerBasis(ctx, x, deg)
-    return _eval_ps(ctx, basis, coeffs, lambda c, m: (list(c[m:]), list(c[:m])))
+    divmod_fn = lambda c, m: (list(c[m:]), list(c[:m]))
+    k = plan_baby_k(ctx, x.limbs, x.scale, coeffs, _PowerBasis, divmod_fn)
+    basis = _PowerBasis(ctx, x, deg, k=k)
+    return _eval_ps(ctx, basis, coeffs, divmod_fn)
 
 
 class BasisShim:
@@ -274,10 +400,17 @@ class BasisShim:
         self.giants = giants
 
 
-def compare_stage_basis(ctx: CkksContext, x: Ciphertext, degree: int):
+def compare_stage_basis(ctx: CkksContext, x: Ciphertext, degree: int,
+                        coeffs=None):
     """Stage 1 of chebyshevCompare: build the Chebyshev basis.
-    Returns (tuple of data arrays, static meta)."""
-    basis = _ChebBasis(ctx, x, degree)
+    Returns (tuple of data arrays, static meta).  `coeffs` (the series that
+    stage 2 will evaluate) lets the baby-step planner validate the split;
+    defaults to a dense all-ones series (a superset of constraints)."""
+    if coeffs is None:
+        coeffs = [1.0] * (degree + 1)
+    k = plan_baby_k(ctx, x.limbs, x.scale, list(coeffs), _ChebBasis,
+                    _cheb_divmod)
+    basis = _ChebBasis(ctx, x, degree, k=k)
     keys = sorted(basis.B)
     meta = {
         "keys": keys,

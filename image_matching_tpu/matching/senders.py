@@ -212,7 +212,7 @@ class Sender:
                 with ctx.bound_state(state):
                     def one(d):
                         datas, m = poly_eval.compare_stage_basis(
-                            ctx, Ciphertext(d, scale), degree
+                            ctx, Ciphertext(d, scale), degree, coeffs
                         )
                         meta.update(m)
                         return datas
