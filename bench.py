@@ -8,8 +8,10 @@ Baseline: reference server membership computation time at the same DB size
 on a 48-core Xeon (BASELINE.md, tools/figures/approach5.csv).
 
 Env knobs:
-  BENCH_LOG2N   log2 of DB size (default 13)
-  BENCH_RING    ring dimension (default 32768)
+  BENCH_LOG2N     log2 of DB size (default 20 — the north-star size)
+  BENCH_RING      ring dimension (default 32768)
+  BENCH_SCENARIO  membership (default) | index
+  BENCH_STREAM    1 = host-streamed seed-compressed DB (default at >= 2^16)
 """
 
 import json
@@ -19,10 +21,14 @@ import time
 
 import numpy as np
 
-# Reference HyDia membership seconds by log2(DB size) — BASELINE.md table.
+# Reference HyDia seconds by log2(DB size) — BASELINE.md table
+# (tools/figures/approach5.csv: membership / identification).
 REF_MEMBERSHIP = {10: 5.89, 11: 4.46, 12: 4.54, 13: 4.49, 14: 4.52,
                   15: 6.16, 16: 9.56, 17: 16.01, 18: 28.73, 19: 53.25,
                   20: 102.41}
+REF_INDEX = {10: 4.68, 11: 4.19, 12: 4.20, 13: 4.35, 14: 4.18,
+             15: 5.85, 16: 9.01, 17: 15.47, 18: 27.63, 19: 49.70,
+             20: 96.52}
 
 
 def bench_ctmult():
@@ -101,9 +107,28 @@ def main():
         _device_warmup_or_reexec()
         bench_ctmult()
         return
-    log2n = int(os.environ.get("BENCH_LOG2N", "13"))
+    try:
+        _run_scenario()
+    except Exception as e:  # e.g. HBM OOM at the north-star size
+        fallback = os.environ.get("BENCH_FALLBACK_LOG2N", "17,13")
+        sizes = [s for s in fallback.split(",") if s]
+        if not sizes:
+            raise
+        print(f"# bench failed ({type(e).__name__}: {e}); "
+              f"falling back to 2^{sizes[0]}", file=sys.stderr)
+        os.environ["BENCH_LOG2N"] = sizes[0]
+        os.environ["BENCH_FALLBACK_LOG2N"] = ",".join(sizes[1:])
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+def _run_scenario():
+    log2n = int(os.environ.get("BENCH_LOG2N", "20"))
     ring = int(os.environ.get("BENCH_RING", "32768"))
+    scenario = os.environ.get("BENCH_SCENARIO", "membership")
     n = 1 << log2n
+    # streamed (host-RAM seed-compressed DB) once the encrypted DB would
+    # crowd HBM; overridable with BENCH_STREAM=0/1
+    streamed = bool(int(os.environ.get("BENCH_STREAM", str(int(log2n >= 16)))))
 
     import jax
     from image_matching_tpu.utils.jaxcfg import enable_compilation_cache
@@ -123,30 +148,50 @@ def main():
     query, db = dio.gen_dataset(n, cfg.vector_dim, seed=0)
 
     t0 = time.time()
-    proto = MatchingProtocol.setup(5, db, cfg, params=params, seed=0)
-    print(f"# setup+enroll: {time.time()-t0:.1f}s", file=sys.stderr)
+    proto = MatchingProtocol.setup(5, db, cfg, params=params, seed=0,
+                                   streamed=streamed,
+                                   **({"verbose": True} if streamed else {}))
+    print(f"# setup+enroll: {time.time()-t0:.1f}s (streamed={streamed})",
+          file=sys.stderr)
+    del db
 
     qcts = proto.encrypt_query(query)
     jax.block_until_ready([c.data for c in qcts])
 
+    def run():
+        if scenario == "index":
+            out = proto.sender.run_index(qcts)
+            jax.block_until_ready([c.data for c in out])
+        else:
+            out = proto.sender.run_membership(qcts)
+            jax.block_until_ready(out.data)
+        return out
+
     # compile + warmup
     t0 = time.time()
-    mem = proto.sender.run_membership(qcts)
-    jax.block_until_ready(mem.data)
+    out = run()
     print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    mem = proto.sender.run_membership(qcts)
-    jax.block_until_ready(mem.data)
+    out = run()
     elapsed = time.time() - t0
 
-    ok = proto.decrypt_membership(mem)
-    print(f"# membership result (expect True): {ok}", file=sys.stderr)
+    if scenario == "index":
+        idx = proto.decrypt_index(out)
+        ok = 0 in idx
+        print(f"# index result (expect planted 0): {sorted(idx)[:5]}",
+              file=sys.stderr)
+        ref = REF_INDEX.get(log2n)
+    else:
+        ok = proto.decrypt_membership(out)
+        print(f"# membership result (expect True): {ok}", file=sys.stderr)
+        ref = REF_MEMBERSHIP.get(log2n)
+    if not ok:
+        print("# CORRECTNESS FAILURE", file=sys.stderr)
 
-    ref = REF_MEMBERSHIP.get(log2n)
     vs = (ref / elapsed) if ref else 0.0
     print(json.dumps({
-        "metric": f"hydia_membership_2^{log2n}_server_compute",
+        "metric": f"hydia_{scenario}_2^{log2n}_server_compute",
         "value": round(elapsed, 4),
         "unit": "seconds",
         "vs_baseline": round(vs, 2),

@@ -445,6 +445,143 @@ class CkksContext:
         data = self.encrypt_batch(values, limbs, scale)[0]
         return Ciphertext(data, scale if scale is not None else self.fresh_scale)
 
+    # ------------------------------------------------------------------
+    # seed-compressed (symmetric) encryption for streamed databases
+    #
+    # The reference streams its serialized DB ciphertexts from disk per
+    # operation (reference src/sender/sender_hers.cpp:88-98,
+    # sender_diag.cpp:85-94).  The TPU equivalent keeps the DB in host RAM
+    # and streams it to HBM per group; to halve that traffic the enroller
+    # (the key holder in the reference's single-process simulation,
+    # src/main.cpp:236-330) uses seeded RLWE ciphertexts: c1 is expanded
+    # from a PRNG seed on-device, only c0 is stored/streamed.
+    # ------------------------------------------------------------------
+
+    _SPLIT_BITS = 24            # coefficient split: c + OFFSET = hi*2^24 + lo
+    _SPLIT_OFFSET = 1 << 47     # |coeff| must stay below this
+
+    def uniform_mont(self, seed: int, group, shape_prefix, l: int) -> jnp.ndarray:
+        """Uniform residues in [0, q_i) per limb, [*shape_prefix, l, N]
+        uint32 — a 64-bit Threefry draw reduced per limb (bias < 2^-36;
+        stream defined in ops/prng.py, reproduced bit-exactly by the C++
+        host enroller).  Uniform residues are uniform in Montgomery/eval
+        form too, so the output is directly usable as the seed-expanded c1
+        of an RLWE ciphertext.  `group` may be a traced scalar."""
+        from ..ops import prng
+
+        lim = self.q_limbs(l)
+        q, qneg = self._qrow(lim)
+        idx = np.asarray(lim, dtype=np.int32)
+        r1 = jnp.asarray(
+            np.array([mm.host_mont_constants(int(self.q_np[i]))[1] for i in idx],
+                     dtype=np.uint32))[:, None]
+        r2 = self.r2[idx][:, None]
+        shape = tuple(shape_prefix) + (l, self.n)
+        return prng.uniform_residues(seed, group, 0, shape, q, qneg, r1, r2)
+
+    def split_coeffs(self, coeffs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Signed int64 coefficients [..., N] -> (hi, lo) uint32 halves of
+        coeff + OFFSET, for compact host->device transfer (8 bytes/coeff
+        instead of 4*limbs)."""
+        off = np.uint64(self._SPLIT_OFFSET)
+        assert np.abs(coeffs).max(initial=0) < self._SPLIT_OFFSET, \
+            "coefficient overflows 48-bit split; raise _SPLIT_OFFSET"
+        u = (coeffs.astype(np.int64) + np.int64(off)).astype(np.uint64)
+        hi = (u >> np.uint64(self._SPLIT_BITS)).astype(np.uint32)
+        lo = (u & np.uint64((1 << self._SPLIT_BITS) - 1)).astype(np.uint32)
+        return hi, lo
+
+    def _coeffs_from_split(self, hi, lo, l: int) -> jnp.ndarray:
+        """Device: (hi, lo) uint32 [..., N] -> standard residues
+        [..., l, N]."""
+        lim = self.q_limbs(l)
+        q, qneg = self._qrow(lim)
+        c24 = np.array(
+            [(1 << (self._SPLIT_BITS + 32)) % int(self.q_np[i]) for i in lim],
+            dtype=np.uint32)[:, None]
+        offm = np.array(
+            [self._SPLIT_OFFSET % int(self.q_np[i]) for i in lim],
+            dtype=np.uint32)[:, None]
+        hie = hi[..., None, :]
+        loe = lo[..., None, :]
+        # mont_mul(hi, 2^24 * R) = hi * 2^24 mod q; lo < 2^24 < q already
+        t = mm.mod_add(mm.mont_mul(hie, jnp.asarray(c24), q, qneg), loe, q)
+        return mm.mod_sub(t, jnp.asarray(offm), q)
+
+    @functools.partial(jax.jit, static_argnums=(0, 6, 7))
+    def _encrypt_seeded_dev(self, state, hi, lo, group, ekey, l, seed):
+        with self.bound_state(state):
+            lim = self.q_limbs(l)
+            q, qneg = self._qrow(lim)
+            r2 = self.r2[np.asarray(lim, dtype=np.int32)][:, None]
+            B = hi.shape[0]
+            m_std = self._coeffs_from_split(hi, lo, l)
+            m = self.plan.fwd(mm.mont_mul(m_std, r2, q, qneg), lim)
+            e_s = jnp.round(
+                jax.random.normal(ekey, (B, self.n), dtype=jnp.float32)
+                * self.params.sigma
+            ).astype(jnp.int32)
+            e = self.plan.fwd(
+                mm.mont_mul(self._small_signed_to_rns(e_s, l), r2, q, qneg), lim
+            )
+            c1 = self.uniform_mont(seed, group, (B,), l)
+            # c0 = m + e - c1*s  so that  c0 + c1*s = m + e
+            c0 = mm.mod_sub(
+                mm.mod_add(m, e, q),
+                mm.mont_mul(c1, self.s_eval[:l], q, qneg), q,
+            )
+            return c0
+
+    def encrypt_seeded_batch(self, values: np.ndarray, seed: int, group: int,
+                             limbs: Optional[int] = None,
+                             scale: Optional[float] = None) -> jnp.ndarray:
+        """Symmetric seeded encryption of [B, slots] values -> c0 only,
+        [B, l, N] uint32 (Montgomery/eval), on the device.  The matching c1
+        is `expand_c1(seed, group, B, l)` — regenerate it on-device at use
+        time instead of storing/streaming it.  The C++ host engine
+        (utils/native.enroll_group) produces the identical c0 stream
+        without any device round-trip."""
+        values = np.atleast_2d(np.asarray(values, dtype=np.float64))
+        l = limbs if limbs is not None else self.Lq
+        sc = scale if scale is not None else self.fresh_scale
+        coeffs = encoding.encode(values, self.n, sc)
+        hi, lo = self.split_coeffs(coeffs)
+        ekey = jax.random.key(int(self._rng.integers(0, 2 ** 63)))
+        return self._encrypt_seeded_dev(
+            self.device_state(), jnp.asarray(hi), jnp.asarray(lo),
+            jnp.uint32(group), ekey, l, seed,
+        )
+
+    def encrypt_seeded_batch_host(self, values: np.ndarray, seed: int,
+                                  group: int,
+                                  limbs: Optional[int] = None,
+                                  scale: Optional[float] = None):
+        """Host-side counterpart of `encrypt_seeded_batch` via the native
+        C++ engine — no device involvement at all (the remote-TPU d2h path
+        is too slow to spill device-enrolled groups through).  Returns
+        numpy c0 [B, l, N] or None when the native library is unavailable."""
+        from ..utils import native
+
+        if not native.available():
+            return None
+        values = np.atleast_2d(np.asarray(values, dtype=np.float64))
+        l = limbs if limbs is not None else self.Lq
+        sc = scale if scale is not None else self.fresh_scale
+        coeffs = encoding.encode(values, self.n, sc)
+        e = np.rint(self._rng.normal(
+            0.0, self.params.sigma, size=coeffs.shape)).astype(np.int64)
+        s_std = np.ascontiguousarray(
+            self._s_eval_std[:l].astype(np.uint32))
+        return native.enroll_group(
+            coeffs + e, self.q_np[:l], self.plan.psis_np[:l], s_std,
+            seed, group)
+
+    def expand_c1(self, seed: int, group, B: int, l: int) -> jnp.ndarray:
+        """Regenerate the seeded c1 for a batch encrypted with
+        `encrypt_seeded_batch(seed, group)`: [B, l, N] uint32.  `group`
+        may be a traced scalar (one jit serves every group)."""
+        return self.uniform_mont(seed, group, (B,), l)
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def _decrypt_dev(self, state, data):
         with self.bound_state(state):

@@ -19,3 +19,9 @@ class MatchConfig:
     use_bsgs: bool = True        # BSGS diagonal matmul (TPU-native extra)
     faithful_hers: bool = False  # per-term relin+rescale as in HERS paper
                                  # (reference src/sender/sender_hers.cpp:70-72)
+    hers_alt_query: bool = False  # encryptQueryAlt: 1-ciphertext query,
+                                  # expanded server-side via
+                                  # generateQueryHelper (reference
+                                  # receiver_hers.cpp:66-77,
+                                  # sender_hers.cpp:101-115); costs one
+                                  # extra level of depth

@@ -121,6 +121,31 @@ def enroll_blind(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray) -> BlindDB:
     return BlindDB(data, nvec, ctx.fresh_scale)
 
 
+def diag_group_vals(sq: np.ndarray, dim: int, mpb: int, bsgs: bool,
+                    n1: int) -> np.ndarray:
+    """Slot values for one diagonal group: [mpb, dim, dim] normalized
+    square matrices -> [dim, mpb*dim] generalized diagonals, BSGS
+    pre-rotated when requested (reference enroller_diag.cpp:12-166)."""
+    # generalized diagonals: diag[i][j] = M[j][(j+i) % dim]
+    j_idx = np.arange(dim)[None, :]
+    i_idx = np.arange(dim)[:, None]
+    col = (j_idx + i_idx) % dim  # [dim(i), dim(j)]
+    diags = sq[:, j_idx.ravel(), col.reshape(dim, dim)]  # [mpb, dim(i), dim(j)]
+    vals = diags.transpose(1, 0, 2).reshape(dim, mpb * dim)
+    if bsgs:
+        n2 = dim // n1
+        out = np.empty_like(vals)
+        for j in range(n2):
+            blk = vals[n1 * j : n1 * (j + 1), :]
+            out[n1 * j : n1 * (j + 1), :] = np.roll(blk, n1 * j, axis=-1)
+        vals = out
+    return vals
+
+
+def diag_bsgs_n1(dim: int) -> int:
+    return 1 << math.ceil(math.log2(dim) / 2)
+
+
 def enroll_diag(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
                 bsgs: Optional[bool] = None) -> DiagDB:
     dim = cfg.vector_dim
@@ -134,25 +159,11 @@ def enroll_diag(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
     groups = math.ceil(nmat / mpb)
     full = np.zeros((groups * mpb * dim, dim))
     full[:nvec] = db
-    sq = full.reshape(groups * mpb, dim, dim)  # square matrices
-    # generalized diagonals: diag[i][j] = M[j][(j+i) % dim]
-    j_idx = np.arange(dim)[None, :]
-    i_idx = np.arange(dim)[:, None]
-    col = (j_idx + i_idx) % dim  # [dim(i), dim(j)]
-    diags = sq[:, j_idx.ravel(), col.reshape(dim, dim)]  # -> [nm, dim(i), dim(j)]
-    # concatenate diagonal i of the mpb matrices of each group
-    diags = diags.reshape(groups, mpb, dim, dim)
-    vals = diags.transpose(0, 2, 1, 3).reshape(groups, dim, mpb * dim)
-    n1 = 1
-    if bsgs:
-        n1 = 1 << math.ceil(math.log2(dim) / 2)  # baby-step count
-        n2 = dim // n1
-        # reorder diagonals as (j, b): index g*j + b, pre-rotated by +n1*j
-        re = np.empty_like(vals)
-        for j in range(n2):
-            blk = vals[:, n1 * j : n1 * (j + 1), :]
-            re[:, n1 * j : n1 * (j + 1), :] = np.roll(blk, n1 * j, axis=-1)
-        vals = re
+    sq = full.reshape(groups, mpb, dim, dim)  # square matrices
+    n1 = diag_bsgs_n1(dim) if bsgs else 1
+    vals = np.stack([
+        diag_group_vals(sq[g], dim, mpb, bsgs, n1) for g in range(groups)
+    ])
     data = _encrypt_stack(ctx, vals.reshape(groups * dim, batch))
     data = data.reshape(groups, dim, 2, -1, ctx.n)
     return DiagDB(data, nvec, ctx.fresh_scale, bsgs, n1)

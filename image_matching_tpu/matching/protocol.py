@@ -28,9 +28,13 @@ class MatchingProtocol:
     @staticmethod
     def setup(approach: int, database: np.ndarray, cfg: Optional[MatchConfig] = None,
               params: Optional[SchemeParams] = None, seed: int = 0,
-              ctx: Optional[CkksContext] = None) -> "MatchingProtocol":
+              ctx: Optional[CkksContext] = None,
+              streamed: bool = False, **stream_kw) -> "MatchingProtocol":
         """Build context (depth from computeRequiredDepth), generate keys,
-        enroll the database."""
+        enroll the database.  With streamed=True (approach 5 only) the DB
+        is enrolled seed-compressed into a host-RAM DiagStore and served
+        by the double-buffered StreamedDiagonalSender — required once the
+        encrypted DB outgrows HBM (2^18+ at production parameters)."""
         cfg = cfg or MatchConfig()
         if ctx is None:
             if params is None:
@@ -38,15 +42,21 @@ class MatchingProtocol:
                 params = SchemeParams.create(mult_depth=depth)
             ctx = CkksContext(params, seed=seed)
         n = database.shape[0]
-        enroll = {
-            1: enrollers.enroll_base,
-            2: enrollers.enroll_base,
-            3: enrollers.enroll_blind,
-            4: enrollers.enroll_hers,
-            5: enrollers.enroll_diag,
-        }[approach]
-        db = enroll(ctx, cfg, database)
-        sender = senders.make_sender(approach, ctx, cfg, db)
+        if streamed:
+            from . import streaming
+            assert approach == 5, "streaming is implemented for approach 5"
+            store = streaming.enroll_diag_streamed(ctx, cfg, database, **stream_kw)
+            sender: senders.Sender = streaming.StreamedDiagonalSender(ctx, cfg, store)
+        else:
+            enroll = {
+                1: enrollers.enroll_base,
+                2: enrollers.enroll_base,
+                3: enrollers.enroll_blind,
+                4: enrollers.enroll_hers,
+                5: enrollers.enroll_diag,
+            }[approach]
+            db = enroll(ctx, cfg, database)
+            sender = senders.make_sender(approach, ctx, cfg, db)
         receiver = receivers.make_receiver(approach, ctx, cfg, n)
         ctx.gen_power_of_two_rotation_keys()
         ctx.gen_rotation_keys(sender.required_rotations(), force=True)

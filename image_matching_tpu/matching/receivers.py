@@ -24,6 +24,12 @@ class HersReceiver:
 
     def encrypt_query(self, query: np.ndarray) -> List[Ciphertext]:
         q = normalize(np.asarray(query, dtype=np.float64))
+        if self.cfg.hers_alt_query:
+            # encryptQueryAlt (reference receiver_hers.cpp:66-77): one
+            # ciphertext with the query replicated every vector_dim slots;
+            # the sender expands it server-side (senders.expand_query_alt)
+            reps = self.ctx.slots // self.cfg.vector_dim
+            return [self.ctx.encrypt(np.tile(q, reps))]
         vals = np.repeat(q[:, None], self.ctx.slots, axis=1)
         data = self.ctx.encrypt_batch(vals)
         return [

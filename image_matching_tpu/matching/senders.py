@@ -199,7 +199,21 @@ class Sender:
 
     def _compare_segments(self, sdata, scale: float, thr: float):
         """[G, 2, l, N] scores -> (flag stack, flag scale) via three
-        vmapped jit segments (basis build / series / f4)."""
+        vmapped jit segments (basis build / series / f4).  Large stacks are
+        processed in fixed-size chunks so the Chebyshev basis (~deg/2
+        ciphertexts per score) never exceeds the HBM headroom left next to
+        a resident streamed DB (IMTPU_COMPARE_CHUNK, default 16)."""
+        import os
+        G = sdata.shape[0]
+        chunk = int(os.environ.get("IMTPU_COMPARE_CHUNK", "16"))
+        if G > chunk:
+            outs = []
+            fscale = None
+            for i in range(0, G, chunk):
+                out, fscale = self._compare_segments(
+                    sdata[i : i + chunk], scale, thr)
+                outs.append(out)
+            return jnp.concatenate(outs, axis=0), fscale
         ctx, cfg = self.ctx, self.cfg
         degree = poly_eval.DEPTH_TO_DEGREE[cfg.comp_depth]
         coeffs = poly_eval.chebyshev_coefficients(
@@ -301,6 +315,10 @@ class HersSender(Sender):
 
     def compute_similarity(self, query: List[Ciphertext]) -> List[Ciphertext]:
         ctx = self.ctx
+        if self.cfg.hers_alt_query and len(query) == 1:
+            # encryptQueryAlt flow: expand the single replicated-query
+            # ciphertext server-side (reference sender_hers.cpp:101-115)
+            query = expand_query_alt(ctx, self.cfg, query[0])
         Q = jnp.stack([c.data for c in query])  # [dim, 2, l, N]
         sq = query[0].scale
         scores = []
@@ -348,6 +366,35 @@ def generate_query_helper(ctx: CkksContext, cfg: MatchConfig,
                            query_ct.limbs, ctx.params.scale)
     out = ctx.rescale(ctx.mul_plain(query_ct, pt))
     return ctx.eval_sum(out, cfg.vector_dim)
+
+
+def expand_query_alt(ctx: CkksContext, cfg: MatchConfig,
+                     qct: Ciphertext) -> List[Ciphertext]:
+    """All vector_dim generate_query_helper expansions as one vmapped
+    mask-multiply + scanned EvalSum — the TPU-native batch form of the
+    reference's per-feature loop (src/sender/sender_hers.cpp:101-115)."""
+    from ..ckks.context import Plaintext
+
+    dim = cfg.vector_dim
+    batch = ctx.slots
+    sc = ctx.params.scale
+    pt_rows = []
+    for j in range(dim):
+        mask = np.zeros(batch)
+        mask[j::dim] = 1.0
+        pt_rows.append(
+            ctx.encode_cached(("qh_mask", dim, j), mask, qct.limbs, sc).data)
+    pt_stack = jnp.asarray(np.stack(pt_rows))  # [dim, l, N]
+    box = [None]
+
+    def one(pt_data):
+        out = ctx.rescale(ctx.mul_plain(qct, Plaintext(pt_data, sc)))
+        out = ctx.eval_sum(out, dim)
+        box[0] = out.scale
+        return out.data
+
+    res = jax.vmap(one)(pt_stack)
+    return [Ciphertext(res[j], box[0]) for j in range(dim)]
 
 
 class BaseSender(Sender):

@@ -1,0 +1,292 @@
+"""Host-streamed encrypted databases: enroll once, keep ciphertexts in host
+RAM (seed-compressed to c0-only), stream groups to HBM per query with
+double-buffered async device_put overlapped with per-group compute.
+
+This is the TPU equivalent of the reference's per-operation DB streaming
+from disk (reference src/sender/sender_hers.cpp:88-98 and
+sender_diag.cpp:85-94): the reference deserializes each ciphertext file
+inside the timed server loop; here the serialized form is the raw c0 limb
+array in host memory and "deserialization" is an async h2d copy plus
+on-device PRNG expansion of the seeded c1 (see
+CkksContext.encrypt_seeded_batch).  Groups that fit the HBM budget stay
+device-resident across queries, mirroring the reference's OS page cache.
+
+Sizing (ring 32768, 14 limbs, dim 512): one diagonal group holds 512
+ciphertexts covering 16384 vectors; c0-only is 0.94 GB.  A 2^20 DB is 64
+groups = 60 GB c0-only — host RAM scale, far beyond HBM, hence streaming.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ckks.context import CkksContext, Ciphertext
+from ..ops import modmath as mm
+from .config import MatchConfig
+from .enrollers import diag_bsgs_n1, diag_group_vals
+from .senders import Sender, ct_dot, _mod_sum_rows
+from .vector_utils import normalize
+
+
+class DiagStore:
+    """Seed-compressed diagonal-layout encrypted DB.
+
+    groups[g] is the c0 stack [dim, L, N] (uint32 Montgomery/eval) — a
+    jnp array for device-resident groups, numpy (host RAM) otherwise.
+    The matching c1 for group g is `ctx.expand_c1(seed, g, dim, L)`
+    (Threefry stream, ops/prng.py)."""
+
+    def __init__(self, ctx: CkksContext, num_vectors: int, scale: float,
+                 bsgs: bool, n1: int, seed: int):
+        self.ctx = ctx
+        self.num_vectors = num_vectors
+        self.scale = scale
+        self.bsgs = bsgs
+        self.n1 = n1
+        self.seed = seed
+        self.groups: List = []
+
+    @property
+    def num_groups(self) -> int:
+        return len(self.groups)
+
+    def group_bytes(self) -> int:
+        g = self.groups[0]
+        return int(np.prod(g.shape)) * 4
+
+    def resident_count(self) -> int:
+        return sum(1 for g in self.groups if isinstance(g, jnp.ndarray))
+
+
+def _hbm_budget_bytes(ctx: CkksContext) -> int:
+    """HBM bytes available for resident DB groups: device limit minus a
+    working-set reserve (keys, per-group similarity workspace, compare
+    stack), overridable via IMTPU_HBM_BUDGET_GB."""
+    env = os.environ.get("IMTPU_HBM_BUDGET_GB")
+    if env is not None:
+        return int(float(env) * 2**30)
+    dev = jax.devices()[0]
+    limit = 0
+    try:
+        stats = dev.memory_stats()
+        limit = (stats or {}).get("bytes_limit", 0)
+    except Exception:
+        pass
+    if not limit:
+        # remote TPU clients report no memory stats; size by device kind
+        kind = getattr(dev, "device_kind", "")
+        hbm_gib = {"TPU v5 lite": 16, "TPU v5e": 16, "TPU v4": 32,
+                   "TPU v5": 95, "TPU v5p": 95, "TPU v6 lite": 32,
+                   "TPU v6e": 32}
+        for k, v in hbm_gib.items():
+            if kind.startswith(k):
+                limit = v * 2**30
+                break
+    if not limit:
+        return 0
+    # reserve: keys + NTT tables (~1.5 GB at prod params) + ~6x one group's
+    # expanded (c0+c1+product) footprint for the similarity segment
+    reserve = 2 * 2**30 + 8 * ctx.Lq * ctx.n * 4 * 512
+    return max(0, int(limit) - reserve)
+
+
+def enroll_diag_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
+                         bsgs: Optional[bool] = None, seed: int = 1234,
+                         resident_budget: Optional[int] = None,
+                         engine: str = "auto",
+                         verbose: bool = False) -> DiagStore:
+    """Enroll a (possibly huge) plaintext DB into a DiagStore.
+
+    engine="native": per group, host FFT encode -> C++ seeded encryption
+    (utils/native.enroll_group) straight into host RAM — no device traffic
+    at all.  Host-resident groups are then promoted to HBM (fast h2d) up
+    to the resident budget.  This is mandatory at scale: the remote-TPU
+    d2h path is ~100x slower than h2d, so device-enrolled groups cannot be
+    spilled to the host.
+
+    engine="device": on-device seeded encryption (compact (hi, lo)
+    coefficient transfer up, c0 down only for spilled groups) — the right
+    path on the CPU backend (tests) where "d2h" is free.
+
+    engine="auto": native when the C++ library is available and the store
+    will not be fully device-resident, else device."""
+    dim = cfg.vector_dim
+    batch = ctx.slots
+    mpb = batch // dim
+    nvec = db.shape[0]
+    if bsgs is None:
+        bsgs = cfg.use_bsgs
+    n1 = diag_bsgs_n1(dim) if bsgs else 1
+    nmat = math.ceil(nvec / dim)
+    num_groups = math.ceil(nmat / mpb)
+    if resident_budget is None:
+        resident_budget = _hbm_budget_bytes(ctx)
+    gbytes = dim * ctx.Lq * ctx.n * 4
+    if engine == "auto":
+        from ..utils import native
+        all_resident = resident_budget >= gbytes * num_groups
+        engine = "native" if native.available() and not all_resident else "device"
+    store = DiagStore(ctx, nvec, ctx.fresh_scale, bsgs, n1, seed)
+    db = normalize(db)
+    group_rows = mpb * dim
+    budget_left = resident_budget
+    dev = jax.devices()[0]
+    for g in range(num_groups):
+        lo_r = g * group_rows
+        hi_r = min(nvec, (g + 1) * group_rows)
+        sq = np.zeros((mpb, dim, dim))
+        sq.reshape(-1, dim)[: hi_r - lo_r] = db[lo_r:hi_r]
+        vals = diag_group_vals(sq, dim, mpb, bsgs, n1)  # [dim, batch]
+        if engine == "native":
+            c0 = ctx.encrypt_seeded_batch_host(vals, seed, g)
+            assert c0 is not None, "native engine requested but unavailable"
+            if budget_left >= gbytes:
+                c0 = jax.device_put(c0, dev)  # promote to HBM (fast h2d)
+                budget_left -= gbytes
+        else:
+            c0 = ctx.encrypt_seeded_batch(vals, seed, g)
+            if budget_left >= gbytes:
+                c0.block_until_ready()
+                budget_left -= gbytes
+            else:
+                c0 = np.asarray(c0)  # d2h spill (CPU backend only)
+        store.groups.append(c0)
+        if verbose and (g % 8 == 0 or g == num_groups - 1):
+            import sys
+            print(f"# enroll group {g + 1}/{num_groups} engine={engine} "
+                  f"(resident {store.resident_count()})", file=sys.stderr)
+    return store
+
+
+class StreamedDiagonalSender(Sender):
+    """Approach 5 (HyDia) over a DiagStore: identical math to
+    DiagonalSender (reference src/sender/sender_diag.cpp) but the per-group
+    loop runs in Python with async h2d prefetch of the next group's c0
+    overlapping the current group's similarity segment, and c1 expanded
+    on-device from the enrollment seed."""
+
+    def __init__(self, ctx: CkksContext, cfg: MatchConfig, store: DiagStore):
+        super().__init__(ctx, cfg, store.num_vectors)
+        self.store = store
+
+    def required_rotations(self) -> List[int]:
+        dim = self.cfg.vector_dim
+        if self.store.bsgs:
+            n1 = self.store.n1
+            n2 = dim // n1
+            return list(range(1, n1)) + [n1 * j for j in range(1, n2)]
+        return list(range(1, dim))
+
+    # -- jit segments ----------------------------------------------------
+
+    def _query_stack(self, qct: Ciphertext) -> jnp.ndarray:
+        """All baby rotations of the query as one hoisted-keyswitch
+        segment: [n1, 2, l, N]."""
+        n1 = self.store.n1 if self.store.bsgs else self.cfg.vector_dim
+
+        def builder(meta):
+            def fn(state, qd):
+                with self.ctx.bound_state(state):
+                    q = Ciphertext(qd, self.ctx.fresh_scale)
+                    if n1 == 1:
+                        return q.data[None]
+                    digs = self.ctx.hoisted_precompute(q)
+                    rot = self.ctx.hoisted_rotate_stack(
+                        q, digs, list(range(1, n1)))
+                    return jnp.concatenate([q.data[None], rot], axis=0)
+            return fn
+
+        fn, _ = self._seg(("stream_qstack", qct.data.shape), builder)
+        return fn(self.ctx.device_state(), qct.data)
+
+    def _group_segment(self):
+        ctx, cfg = self.ctx, self.cfg
+        dim = cfg.vector_dim
+        n1 = self.store.n1 if self.store.bsgs else dim
+        n2 = dim // n1
+        sq = ctx.fresh_scale
+        sdb = self.store.scale
+
+        seed = self.store.seed
+
+        def builder(meta):
+            def fn(state, Q, c0, g):
+                with ctx.bound_state(state):
+                    l = c0.shape[-2]
+                    c1 = ctx.expand_c1(seed, g, c0.shape[0], l)
+                    dbd = jnp.stack([c0, c1], axis=1)  # [dim, 2, l, N]
+                    q, _ = ctx._qrow(ctx.q_limbs(l))
+                    if n2 == 1:
+                        t3 = ct_dot(ctx, Q, dbd)
+                        out = ctx.rescale_score(
+                            ctx.relinearize(Ciphertext(t3, sq * sdb)))
+                    else:
+                        blocks = dbd.reshape(n2, n1, *dbd.shape[1:])
+                        t3 = jax.vmap(lambda blk: ct_dot(ctx, Q, blk))(blocks)
+                        prod_scale = sq * sdb
+                        inners = jax.vmap(
+                            lambda d: ctx.relinearize(
+                                Ciphertext(d, prod_scale)).data
+                        )(t3)
+                        rot = ctx.rotate_stack(
+                            inners[1:], [n1 * j for j in range(1, n2)],
+                            prod_scale)
+                        summed = mm.mod_add(
+                            inners[0], _mod_sum_rows(rot, q), q)
+                        out = ctx.rescale_score(Ciphertext(summed, prod_scale))
+                    meta["scale"] = out.scale
+                    return out.data
+            return fn
+
+        return self._seg(("stream_group", self.store.groups[0].shape), builder)
+
+    def _similarity_stream(self, query: List[Ciphertext]):
+        """Stream all groups through the similarity segment with one-group
+        lookahead prefetch.  Returns (score stack [G, 2, l', N], scale)."""
+        ctx = self.ctx
+        Q = self._query_stack(query[0])
+        fn, meta = self._group_segment()
+        state = ctx.device_state()
+        dev = jax.devices()[0]
+        G = self.store.num_groups
+
+        def fetch(g):
+            grp = self.store.groups[g]
+            if isinstance(grp, jnp.ndarray):
+                return grp
+            return jax.device_put(grp, dev)  # async h2d
+
+        nxt = fetch(0)
+        outs = []
+        for g in range(G):
+            cur, nxt = nxt, (fetch(g + 1) if g + 1 < G else None)
+            out = fn(state, Q, cur, jnp.uint32(g))
+            outs.append(out)
+            del cur
+        scores = jnp.stack(outs) if G > 1 else outs[0][None]
+        return scores, meta["scale"]
+
+    # -- scenario entry points -------------------------------------------
+
+    def compute_similarity(self, query: List[Ciphertext]) -> List[Ciphertext]:
+        sdata, scale = self._similarity_stream(query)
+        return [Ciphertext(sdata[i], scale) for i in range(sdata.shape[0])]
+
+    def run_membership(self, query_cts: List[Ciphertext]) -> Ciphertext:
+        sdata, scale = self._similarity_stream(query_cts)
+        fstack, fscale = self._compare_segments(
+            sdata, scale, self.cfg.match_threshold)
+        data, meta = self._reduce_segment(fstack, fscale)
+        return Ciphertext(data, meta["scale"])
+
+    def run_index(self, query_cts: List[Ciphertext]) -> List[Ciphertext]:
+        sdata, scale = self._similarity_stream(query_cts)
+        fstack, fscale = self._compare_segments(
+            sdata, scale, self.cfg.match_threshold)
+        return [Ciphertext(fstack[i], fscale) for i in range(fstack.shape[0])]
