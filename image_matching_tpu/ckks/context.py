@@ -111,6 +111,7 @@ class CkksContext:
         ]
         self.dnum = len(self.groups)
 
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
         self._keygen()
         # rotation keys live in stacked sets ([R, dnum, 2, Ltot, N]) so

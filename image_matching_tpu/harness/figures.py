@@ -39,9 +39,26 @@ def _load(csv_path):
     return rows
 
 
-def ciphertext_bytes(ring_dim=32768, limbs=14):
-    """Serialized size of one fresh 2-component ciphertext."""
-    return 2 * limbs * ring_dim * 4
+_APPROACH_IDS = {"Baseline": 1, "GROTE": 2, "Blind": 3, "HERS": 4,
+                 "Diagonal": 5}
+
+
+def ciphertext_bytes(approach_name: str = "Diagonal",
+                     ring_dim: int = 32768) -> int:
+    """Serialized size of one fresh 2-component ciphertext at the scheme
+    parameters this approach actually runs with (limb count from the
+    approach's depth plan — reference models bandwidth from serialized
+    ciphertext sizes the same way, tools/figures/15IndexTotals.csv)."""
+    from ..ckks.params import SchemeParams, compute_required_depth
+    from ..matching.config import MatchConfig
+
+    cfg = MatchConfig()
+    depth = compute_required_depth(
+        _APPROACH_IDS.get(approach_name, 5), cfg.comp_depth, cfg.alpha_depth)
+    params = SchemeParams.create(
+        ring_dim=ring_dim, mult_depth=depth,
+        security="128c" if ring_dim >= 32768 else "none")
+    return 2 * len(params.q_primes) * ring_dim * 4
 
 
 def generate(csv_path: str, outdir: str = "figures"):
@@ -76,31 +93,75 @@ def generate(csv_path: str, outdir: str = "figures"):
         plt.close()
 
     # bandwidth: end-to-end = compute + (query + result cts) * bytes / bw
-    plt.figure(figsize=(6, 4))
-    for name in sorted({r["Experimental Approach"] for r in rows}):
-        biggest = max(
-            (r for r in rows if r["Experimental Approach"] == name),
-            key=lambda r: int(r["Database Size (vectors)"]),
-        )
-        comp = float(biggest["Membership Computation (seconds)"]) + float(
-            biggest["Query Encryption (seconds)"]
-        )
-        n_cts = int(biggest["Query Size (ciphertexts)"]) + int(
-            biggest["Membership Result Size (ciphertexts)"]
-        )
-        xs, ys = [], []
-        for label, bw in BANDWIDTHS.items():
-            xs.append(bw)
-            ys.append(comp + n_cts * ciphertext_bytes() / bw)
-        plt.loglog(xs, ys, marker="s", label=name)
-    plt.xlabel("network bandwidth (B/s)")
-    plt.ylabel("end-to-end membership (s)")
-    plt.grid(True, which="both", alpha=0.3)
-    plt.legend()
-    plt.tight_layout()
-    plt.savefig(os.path.join(outdir, "membership_bandwidth.png"), dpi=150)
-    plt.close()
+    # (reference generate_figures.sh:7-13 emits both the membership and the
+    # identification variant)
+    for phase, comp_col, size_col in (
+        ("membership", "Membership Computation (seconds)",
+         "Membership Result Size (ciphertexts)"),
+        ("identification", "Index Computation (seconds)",
+         "Index Result Size (ciphertexts)"),
+    ):
+        plt.figure(figsize=(6, 4))
+        for name in sorted({r["Experimental Approach"] for r in rows}):
+            biggest = max(
+                (r for r in rows if r["Experimental Approach"] == name),
+                key=lambda r: int(r["Database Size (vectors)"]),
+            )
+            comp = float(biggest[comp_col]) + float(
+                biggest["Query Encryption (seconds)"]
+            )
+            n_cts = int(biggest["Query Size (ciphertexts)"]) + int(
+                biggest[size_col]
+            )
+            ct_bytes = ciphertext_bytes(name)
+            xs, ys = [], []
+            for label, bw in BANDWIDTHS.items():
+                xs.append(bw)
+                ys.append(comp + n_cts * ct_bytes / bw)
+            plt.loglog(xs, ys, marker="s", label=name)
+        plt.xlabel("network bandwidth (B/s)")
+        plt.ylabel(f"end-to-end {phase} (s)")
+        plt.grid(True, which="both", alpha=0.3)
+        plt.legend()
+        plt.tight_layout()
+        plt.savefig(os.path.join(outdir, f"{phase}_bandwidth.png"), dpi=150)
+        plt.close()
     print(f"figures written to {outdir}/")
+
+
+def sign_approx_plot(outpath: str = "figures/sign_approx.png",
+                     delta: float = 0.44, degree: int = 59):
+    """Plot of the composed sign approximation vs pure Chebyshev — the
+    reference's tools/figures/signApproxAll.py figure."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..ckks import poly_eval as pe
+
+    cheb = pe.chebyshev_coefficients(
+        lambda v: 1.0 if v >= delta else -1.0, degree
+    )
+    xs = np.linspace(-1, 1, 801)
+    y = np.polynomial.chebyshev.chebval(xs, cheb)
+    composed = np.polyval(pe.F4_COEFS[::-1], y) + 1.0
+    target = np.where(xs >= delta, 2.0, 0.0)
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9, 4))
+    ax1.plot(xs, y, label=f"Chebyshev deg {degree}")
+    ax1.plot(xs, composed, label="composed (Cheb ∘ f4) + 1")
+    ax1.plot(xs, target, "k--", lw=0.8, label="target step")
+    ax1.axvline(delta, color="gray", lw=0.5)
+    ax1.set_xlabel("score x")
+    ax1.legend(fontsize=8)
+    ax2.semilogy(xs, np.abs(composed - target) + 1e-18)
+    ax2.set_xlabel("score x")
+    ax2.set_ylabel("|composed − target|")
+    ax2.grid(True, which="both", alpha=0.3)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(outpath) or ".", exist_ok=True)
+    fig.savefig(outpath, dpi=150)
+    plt.close(fig)
 
 
 def sign_approx_table(outpath: str = "figures/sign_approx.csv",
@@ -130,3 +191,4 @@ if __name__ == "__main__":
     out = sys.argv[2] if len(sys.argv) > 2 else "figures"
     generate(path, out)
     sign_approx_table(os.path.join(out, "sign_approx.csv"))
+    sign_approx_plot(os.path.join(out, "sign_approx.png"))

@@ -48,8 +48,11 @@ def ct_dot(ctx: CkksContext, A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
 
     This is the hot kernel of every similarity computation — the TPU
     equivalent of the loops at reference src/sender/sender_diag.cpp:85-94 /
-    sender_hers.cpp:61-84."""
-    l = A.shape[-2]
+    sender_hers.cpp:61-84.  Mismatched levels are aligned by dropping the
+    higher operand's top limbs (free modulus reduction)."""
+    l = min(A.shape[-2], B.shape[-2])
+    A = A[..., :l, :]
+    B = B[..., :l, :]
     lim = ctx.q_limbs(l)
     q, qneg = ctx._qrow(lim)
     p16 = ctx.pow16[:, :l][:, :, None]

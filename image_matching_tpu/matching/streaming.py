@@ -18,6 +18,8 @@ groups = 60 GB c0-only — host RAM scale, far beyond HBM, hence streaming.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
 import os
 from typing import List, Optional, Sequence
@@ -96,6 +98,79 @@ def _hbm_budget_bytes(ctx: CkksContext) -> int:
     return max(0, int(limit) - reserve)
 
 
+def _cache_dir() -> Optional[str]:
+    """Directory for the on-disk enrolled-DB cache (IMTPU_STORE_DIR;
+    empty string disables).  Default: <repo>/.dbcache."""
+    d = os.environ.get("IMTPU_STORE_DIR")
+    if d == "":
+        return None
+    if d is None:
+        d = os.path.join(os.path.dirname(__file__), "..", "..", ".dbcache")
+    return os.path.abspath(d)
+
+
+def _db_fingerprint(db: np.ndarray) -> str:
+    h = hashlib.sha1()
+    h.update(repr(db.shape).encode())
+    step = max(1, db.shape[0] // 256)
+    h.update(np.ascontiguousarray(db[::step]).tobytes()[: 1 << 22])
+    return h.hexdigest()[:16]
+
+
+def _store_cache_path(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
+                      seed: int, bsgs: bool, n1: int) -> Optional[str]:
+    """Cache key covers everything that determines the c0 bytes: scheme
+    primes, ring, context seed (-> secret key), layout, and the plaintext
+    DB content.  Mirrors the reference's offline enroll-to-disk
+    (reference src/enroller/enroller_diag.cpp + READ_FROM_SERIAL): the
+    timed query path streams a pre-enrolled DB."""
+    root = _cache_dir()
+    if root is None:
+        return None
+    key = hashlib.sha1(json.dumps([
+        int(ctx.n), [int(q) for q in ctx.q_np[: ctx.Lq]],
+        float(ctx.fresh_scale), int(getattr(ctx, "seed", 0)),
+        int(cfg.vector_dim), int(db.shape[0]), int(seed), bool(bsgs),
+        int(n1), _db_fingerprint(db),
+    ]).encode()).hexdigest()[:20]
+    return os.path.join(root, f"diag_{db.shape[0]}_{key}")
+
+
+def _promote_resident(store: DiagStore, resident_budget: int) -> None:
+    """Move leading groups to HBM until the budget is spent (fast h2d)."""
+    gbytes = store.group_bytes()
+    dev = jax.devices()[0]
+    budget_left = resident_budget
+    for g, grp in enumerate(store.groups):
+        if budget_left < gbytes:
+            break
+        if not isinstance(grp, jnp.ndarray):
+            store.groups[g] = jax.device_put(np.ascontiguousarray(grp), dev)
+        budget_left -= gbytes
+
+
+def _load_cached_store(path: str, ctx: CkksContext, nvec: int, scale: float,
+                       bsgs: bool, n1: int, seed: int,
+                       resident_budget: int, verbose: bool
+                       ) -> Optional[DiagStore]:
+    meta_p = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_p):
+        return None
+    with open(meta_p) as f:
+        meta = json.load(f)
+    store = DiagStore(ctx, nvec, scale, bsgs, n1, seed)
+    for g in range(meta["num_groups"]):
+        store.groups.append(
+            np.load(os.path.join(path, f"g{g:04d}.npy"), mmap_mode="r"))
+    _promote_resident(store, resident_budget)
+    if verbose:
+        import sys
+        print(f"# enrolled DB loaded from cache {path} "
+              f"({meta['num_groups']} groups, "
+              f"{store.resident_count()} resident)", file=sys.stderr)
+    return store
+
+
 def enroll_diag_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
                          bsgs: Optional[bool] = None, seed: int = 1234,
                          resident_budget: Optional[int] = None,
@@ -128,6 +203,16 @@ def enroll_diag_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
     if resident_budget is None:
         resident_budget = _hbm_budget_bytes(ctx)
     gbytes = dim * ctx.Lq * ctx.n * 4
+    # disk cache: enrollment is offline work (the reference enrolls to disk
+    # and streams, src/sender/sender_diag.cpp:85-94); big DBs enroll once
+    cache_on = (nvec >= (1 << 16)) or bool(os.environ.get("IMTPU_STORE_DIR"))
+    cache_path = (_store_cache_path(ctx, cfg, db, seed, bsgs, n1)
+                  if cache_on else None)
+    if cache_path is not None:
+        cached = _load_cached_store(cache_path, ctx, nvec, ctx.fresh_scale,
+                                    bsgs, n1, seed, resident_budget, verbose)
+        if cached is not None:
+            return cached
     if engine == "auto":
         from ..utils import native
         all_resident = resident_budget >= gbytes * num_groups
@@ -146,8 +231,19 @@ def enroll_diag_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
         if engine == "native":
             c0 = ctx.encrypt_seeded_batch_host(vals, seed, g)
             assert c0 is not None, "native engine requested but unavailable"
+            if cache_path is not None:
+                try:
+                    os.makedirs(cache_path, exist_ok=True)
+                    fm = np.lib.format.open_memmap(
+                        os.path.join(cache_path, f"g{g:04d}.npy"), mode="w+",
+                        dtype=np.uint32, shape=c0.shape)
+                    fm[:] = c0
+                    fm.flush()
+                    c0 = fm
+                except OSError:  # out of disk: keep going uncached
+                    cache_path = None
             if budget_left >= gbytes:
-                c0 = jax.device_put(c0, dev)  # promote to HBM (fast h2d)
+                c0 = jax.device_put(np.ascontiguousarray(c0), dev)
                 budget_left -= gbytes
         else:
             c0 = ctx.encrypt_seeded_batch(vals, seed, g)
@@ -161,6 +257,11 @@ def enroll_diag_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
             import sys
             print(f"# enroll group {g + 1}/{num_groups} engine={engine} "
                   f"(resident {store.resident_count()})", file=sys.stderr)
+    if engine == "native" and cache_path is not None:
+        # meta.json written last = completeness marker
+        with open(os.path.join(cache_path, "meta.json"), "w") as f:
+            json.dump({"num_groups": num_groups, "nvec": nvec,
+                       "bsgs": bsgs, "n1": n1, "seed": seed}, f)
     return store
 
 

@@ -26,6 +26,12 @@ def init(coordinator: str | None = None, num_processes: int | None = None,
     )
 
 
+def global_mesh(axis: str = "db"):
+    """1-D mesh over every device in the slice (all hosts)."""
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
 def local_rows(total_rows: int) -> slice:
     """Row range of the DB this host should enroll (equal contiguous
     shards by process index)."""

@@ -54,14 +54,35 @@ def psum_mod(x: jnp.ndarray, q: jnp.ndarray, qneg: jnp.ndarray,
 
 class ShardedScenario:
     """Runs a sender's membership/index scenario with the DB group axis
-    sharded over a mesh.  Requires the sender's group axis (db.data leading
-    dim) to be divisible by the mesh size."""
+    sharded over a mesh.  Every layout's leading db.data axis is an
+    independent batch of DB groups, so this works for the diagonal and HERS
+    layouts unconditionally; for blind/base index decoding, each shard's
+    local scores must pack into whole ciphertexts (slots | local work),
+    and GROTE's group-testing index path is inherently global (membership
+    only here — matching its reference cost model,
+    src/sender/sender_grote.cpp:13-36).
+
+    Group counts that do not divide the mesh size are padded with all-zero
+    ciphertext groups: a zero ciphertext is a valid encryption of 0, its
+    scores sit far below the match threshold, its compare flags are ~0, and
+    its slot positions map past num_vectors so receivers already filter
+    them."""
 
     def __init__(self, sender, mesh: Mesh, axis: str = "db"):
         self.sender = sender
         self.mesh = mesh
         self.axis = axis
         self._fns = {}
+
+    def _padded_db(self) -> jnp.ndarray:
+        data = self.sender.db.data
+        n = self.mesh.shape[self.axis]
+        g = data.shape[0]
+        if g % n == 0:
+            return data
+        pad = n - g % n
+        zeros = jnp.zeros((pad,) + data.shape[1:], dtype=data.dtype)
+        return jnp.concatenate([data, zeros], axis=0)
 
     def _build(self, kind: str):
         sender = self.sender
@@ -110,7 +131,7 @@ class ShardedScenario:
             self._fns["membership"] = self._build("membership")
         fn, meta = self._fns["membership"]
         qstack = jnp.stack([c.data for c in query_cts])
-        data = fn(self.sender.ctx.device_state(), self.sender.db.data, qstack)
+        data = fn(self.sender.ctx.device_state(), self._padded_db(), qstack)
         return Ciphertext(data, meta["scale"])
 
     def index(self, query_cts: List[Ciphertext]) -> List[Ciphertext]:
@@ -118,5 +139,5 @@ class ShardedScenario:
             self._fns["index"] = self._build("index")
         fn, meta = self._fns["index"]
         qstack = jnp.stack([c.data for c in query_cts])
-        data = fn(self.sender.ctx.device_state(), self.sender.db.data, qstack)
+        data = fn(self.sender.ctx.device_state(), self._padded_db(), qstack)
         return [Ciphertext(data[i], meta["scale"]) for i in range(data.shape[0])]

@@ -1,0 +1,160 @@
+"""Intra-ciphertext tensor parallelism: shard the slot/coefficient axis (or
+the RNS limb axis) of every polynomial across a device mesh.
+
+The reference has no analog — each OpenFHE ciphertext op is single-threaded
+(SURVEY.md section 2.6 "Tensor-style parallelism: none").  The TPU-native
+design does NOT reimplement the CKKS ops for the distributed case: every op
+in ckks/context.py is already a pure jnp program, so we jit it under
+`jax.sharding` constraints and let XLA's SPMD partitioner insert the ICI
+collectives —
+
+  * the NTT's butterfly partner exchange (jnp.roll lane shifts,
+    ops/ntt.py NttPlan.fwd) becomes collective-permute halo exchanges
+    between slot shards;
+  * the key-switch digit decomposition's cross-limb basis extension
+    becomes all-gathers over the limb shards;
+  * elementwise modular arithmetic partitions with zero communication.
+
+This is the "pick a mesh, annotate shardings, let XLA insert collectives"
+recipe — one code path serves 1 chip and N chips.
+
+Two shardings are offered:
+  shard="slot": split the polynomial coefficient/eval axis (size N).  All
+    elementwise work is local; NTT stages with butterfly distance >= N/D
+    exchange halos over ICI (the first log2(D) of log2(N) stages).
+  shard="limb": split the RNS limb axis.  NTT and all elementwise ops are
+    fully local (limbs are independent); only basis extension / digit
+    products communicate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ckks.context import CkksContext, Ciphertext
+
+
+class TensorParallel:
+    """Runs single-ciphertext CKKS ops with the polynomial axes sharded
+    over `mesh` (1-D, axis name `axis`)."""
+
+    def __init__(self, ctx: CkksContext, mesh: Mesh, axis: str = "tp",
+                 shard: str = "slot"):
+        assert shard in ("slot", "limb")
+        self.ctx = ctx
+        self.mesh = mesh
+        self.axis = axis
+        self.shard = shard
+        self._jits = {}
+
+    def _spec(self, shape) -> NamedSharding:
+        """Sharding for a [..., l, N] polynomial array.  Explicit shardings
+        must divide evenly (GSPMD pads internally but NamedSharding on
+        array boundaries cannot); an indivisible axis — e.g. an odd limb
+        count after a rescale — replicates at the boundary while interior
+        ops stay sharded via propagation."""
+        dim = len(shape) - (1 if self.shard == "slot" else 2)
+        spec = [None] * len(shape)
+        if shape[dim] % self.mesh.shape[self.axis] == 0:
+            spec[dim] = self.axis
+        return NamedSharding(self.mesh, P(*spec))
+
+    def constrain(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.with_sharding_constraint(x, self._spec(x.shape))
+
+    def shard_ct(self, ct: Ciphertext) -> Ciphertext:
+        """Place a ciphertext's data under the TP sharding."""
+        return Ciphertext(
+            jax.device_put(ct.data, self._spec(ct.data.shape)), ct.scale)
+
+    def _run(self, key, builder, *datas):
+        """Cached jit of builder(meta) -> fn(state, *datas); every data
+        input/output constrained to the TP sharding."""
+        if key not in self._jits:
+            meta = {}
+
+            def outer(state, *xs):
+                xs = tuple(self.constrain(x) for x in xs)
+                out = builder(meta)(state, *xs)
+                return jax.tree.map(self.constrain, out)
+
+            self._jits[key] = (jax.jit(outer), meta)
+        fn, meta = self._jits[key]
+        return fn(self.ctx.device_state(), *datas), meta
+
+    # -- distributed ops ---------------------------------------------------
+
+    def ntt_fwd(self, x: jnp.ndarray, limbs) -> jnp.ndarray:
+        ctx = self.ctx
+
+        def builder(meta):
+            def fn(state, a):
+                with ctx.bound_state(state):
+                    return ctx.plan.fwd(a, limbs)
+            return fn
+
+        out, _ = self._run(("ntt", tuple(limbs), x.shape), builder, x)
+        return out
+
+    def mul_relin_rescale(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """ct x ct multiply + relinearize + rescale, slot/limb-sharded (the
+        EvalMult/Relinearize/Rescale sequence of reference
+        src/sender/sender_base.cpp:91-96)."""
+        ctx = self.ctx
+
+        def builder(meta):
+            def fn(state, ad, bd):
+                with ctx.bound_state(state):
+                    out = ctx.rescale_score(ctx.relinearize(ctx.mul(
+                        Ciphertext(ad, a.scale), Ciphertext(bd, b.scale))))
+                    meta["scale"] = out.scale
+                    return out.data
+            return fn
+
+        out, meta = self._run(("mulrr", a.scale, b.scale, a.data.shape),
+                              builder, a.data, b.data)
+        return Ciphertext(out, meta["scale"])
+
+    def rotate(self, ct: Ciphertext, steps: int) -> Ciphertext:
+        """Slot rotation (Galois automorphism + key switch); the eval-domain
+        permutation becomes a cross-shard exchange under slot sharding."""
+        ctx = self.ctx
+
+        def builder(meta):
+            def fn(state, d):
+                with ctx.bound_state(state):
+                    out = ctx.binary_rotate(Ciphertext(d, ct.scale), steps)
+                    meta["scale"] = out.scale
+                    return out.data
+            return fn
+
+        out, meta = self._run(("rot", steps, ct.scale, ct.data.shape),
+                              builder, ct.data)
+        return Ciphertext(out, meta["scale"])
+
+    def eval_sum(self, ct: Ciphertext, m: int) -> Ciphertext:
+        ctx = self.ctx
+
+        def builder(meta):
+            def fn(state, d):
+                with ctx.bound_state(state):
+                    out = ctx.eval_sum(Ciphertext(d, ct.scale), m)
+                    meta["scale"] = out.scale
+                    return out.data
+            return fn
+
+        out, meta = self._run(("esum", m, ct.scale, ct.data.shape),
+                              builder, ct.data)
+        return Ciphertext(out, meta["scale"])
+
+
+def make_tp_mesh(n_devices: Optional[int] = None, axis: str = "tp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))

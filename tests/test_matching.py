@@ -87,6 +87,18 @@ def test_score_parity(approach):
     np.testing.assert_allclose(got, sims, atol=1e-4)
 
 
+def test_end_to_end_monolithic(monkeypatch):
+    """Same approach-5 flow through the monolithic single-jit runner (the
+    TPU default is segmented — senders._use_segments; keep the one-XLA-
+    program path exercised too)."""
+    monkeypatch.delenv("IMTPU_FORCE_SEGMENTS", raising=False)
+    proto, query, db = _setup(5, seed=2)
+    assert not proto.sender._use_segments()
+    qcts = proto.encrypt_query(query)
+    assert proto.decrypt_membership(proto.membership(qcts)) is True
+    assert proto.decrypt_index(proto.index(qcts)) == [0]
+
+
 def test_membership_false_when_no_match():
     cfg = _cfg()
     rng = np.random.default_rng(9)

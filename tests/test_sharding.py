@@ -41,3 +41,47 @@ def test_sharded_diag_membership_matches_single():
     idx1 = proto.decrypt_index(proto.index(qcts))
     idx2 = proto.decrypt_index(sharded.index(qcts))
     assert idx1 == idx2 == [0]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_uneven_groups_padded():
+    """3 DB groups on a 2-device mesh: zero-ciphertext padding keeps both
+    scenarios correct (membership flag and index decode unchanged)."""
+    n_dev = 2
+    cfg = MatchConfig(vector_dim=DIM, chunk_len=16, comp_depth=8)
+    depth = compute_required_depth(5, cfg.comp_depth, cfg.alpha_depth)
+    params = SchemeParams.create(ring_dim=RING, mult_depth=depth, security="none")
+    ctx = CkksContext(params, seed=9)
+    group = params.slots
+    query, db = dio.gen_dataset(group * 3, DIM, seed=9)
+    proto = MatchingProtocol.setup(5, db, cfg, ctx=ctx)
+    qcts = proto.encrypt_query(query)
+
+    mesh = make_mesh(n_dev)
+    sharded = ShardedScenario(proto.sender, mesh)
+    assert proto.sender.db.data.shape[0] == 3  # does not divide mesh size
+
+    assert proto.decrypt_membership(sharded.membership(qcts)) is True
+    assert proto.decrypt_index(sharded.index(qcts)) == [0]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_hers_membership_matches_single():
+    """HERS layout (dimension-major groups) sharded over the mesh."""
+    n_dev = 2
+    cfg = MatchConfig(vector_dim=DIM, chunk_len=16, comp_depth=8)
+    depth = compute_required_depth(4, cfg.comp_depth, cfg.alpha_depth)
+    params = SchemeParams.create(ring_dim=RING, mult_depth=depth, security="none")
+    ctx = CkksContext(params, seed=10)
+    query, db = dio.gen_dataset(params.slots * n_dev, DIM, seed=10)
+    proto = MatchingProtocol.setup(4, db, cfg, ctx=ctx)
+    qcts = proto.encrypt_query(query)
+
+    single = proto.membership(qcts)
+    sharded = ShardedScenario(proto.sender, make_mesh(n_dev))
+    multi = sharded.membership(qcts)
+
+    v1 = proto.ctx.decrypt(single)[0]
+    v2 = proto.ctx.decrypt(multi)[0]
+    assert (v1 >= 1.0) == (v2 >= 1.0) == True  # noqa: E712
+    np.testing.assert_allclose(v1, v2, atol=1e-2)

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark matrix: all five approaches at the BASELINE.md config sizes on
+the attached TPU, producing a scalability table comparable to the
+reference's tools/figures/approach{1..5}.csv.
+
+Timing discipline: one warmup run (includes jit compile), then the timed
+run — matching bench.py and the reference's "server computation time"
+(which also excludes setup/enroll, reference src/main.cpp:330-389).
+
+  python tools/bench_matrix.py                      # default matrix
+  python tools/bench_matrix.py --configs 5:16,5:17  # specific points
+  python tools/bench_matrix.py --out results.jsonl
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# (approach, log2n) -> (membership_s, index_s) from BASELINE.md
+REF = {
+    (1, 10): (11.53, 11.35), (1, 12): (35.86, 35.58), (1, 14): (133.76, 135.78),
+    (2, 10): (17.45, 20.64), (2, 12): (48.68, 50.74), (2, 14): (175.18, 176.00),
+    (3, 10): (8.50, 8.14), (3, 12): (22.00, 21.04), (3, 14): (79.66, 79.95),
+    (4, 10): (4.28, 3.46), (4, 12): (4.13, 3.46), (4, 14): (4.17, 3.47),
+    (5, 10): (5.89, 4.68), (5, 12): (4.54, 4.20), (5, 13): (4.49, 4.35),
+    (5, 14): (4.52, 4.18), (5, 15): (6.16, 5.85), (5, 16): (9.56, 9.01),
+    (5, 17): (16.01, 15.47), (5, 18): (28.73, 27.63), (5, 19): (53.25, 49.70),
+    (5, 20): (102.41, 96.52),
+}
+
+DEFAULT = "1:10,2:12,3:14,4:14,5:13,5:16,5:17"
+
+
+def run_one(approach: int, log2n: int, ring: int, streamed: bool) -> dict:
+    import jax
+    from image_matching_tpu.utils.jaxcfg import enable_compilation_cache
+    enable_compilation_cache()
+    from image_matching_tpu.ckks.params import (SchemeParams,
+                                                compute_required_depth)
+    from image_matching_tpu.matching.config import MatchConfig
+    from image_matching_tpu.matching.protocol import MatchingProtocol
+    from image_matching_tpu.utils import io as dio
+
+    cfg = MatchConfig()
+    depth = compute_required_depth(approach, cfg.comp_depth, cfg.alpha_depth)
+    params = SchemeParams.create(
+        ring_dim=ring, mult_depth=depth,
+        security="128c" if ring >= 32768 else "none")
+    query, db = dio.gen_dataset(1 << log2n, cfg.vector_dim, seed=0)
+    t0 = time.time()
+    proto = MatchingProtocol.setup(approach, db, cfg, params=params, seed=0,
+                                   streamed=streamed)
+    enroll_s = time.time() - t0
+    del db
+    qcts = proto.encrypt_query(query)
+    jax.block_until_ready([c.data for c in qcts])
+
+    row = {"approach": approach, "log2n": log2n, "ring": ring,
+           "streamed": streamed, "enroll_s": round(enroll_s, 2)}
+
+    def timed(kind):
+        def go():
+            if kind == "membership":
+                out = proto.sender.run_membership(qcts)
+                jax.block_until_ready(out.data)
+            else:
+                out = proto.sender.run_index(qcts)
+                jax.block_until_ready([c.data for c in out])
+            return out
+        t0 = time.time()
+        out = go()
+        compile_s = time.time() - t0
+        t0 = time.time()
+        out = go()
+        return out, time.time() - t0, compile_s
+
+    mem, mem_s, mem_c = timed("membership")
+    row["membership_s"] = round(mem_s, 4)
+    row["membership_compile_s"] = round(mem_c, 2)
+    row["membership_ok"] = bool(proto.decrypt_membership(mem))
+
+    idx, idx_s, idx_c = timed("index")
+    row["index_s"] = round(idx_s, 4)
+    row["index_compile_s"] = round(idx_c, 2)
+    decoded = proto.decrypt_index(idx)
+    row["index_ok"] = 0 in decoded
+    row["index_extra"] = len(decoded) - 1
+
+    ref = REF.get((approach, log2n))
+    if ref:
+        row["ref_membership_s"], row["ref_index_s"] = ref
+        row["membership_vs_ref"] = round(ref[0] / mem_s, 2)
+        row["index_vs_ref"] = round(ref[1] / idx_s, 2)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default=DEFAULT,
+                    help="comma list of approach:log2n")
+    ap.add_argument("--ring", type=int, default=32768)
+    ap.add_argument("--out", default="docs/results/bench_matrix.jsonl")
+    args = ap.parse_args()
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+
+    for spec in args.configs.split(","):
+        a, n = (int(x) for x in spec.strip().split(":"))
+        streamed = a == 5 and n >= 16
+        print(f"=== approach {a} @ 2^{n} (streamed={streamed}) ===",
+              flush=True)
+        try:
+            row = run_one(a, n, args.ring, streamed)
+        except Exception as e:
+            row = {"approach": a, "log2n": n, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(row), flush=True)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()
