@@ -222,7 +222,30 @@ def enroll_diag_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
     group_rows = mpb * dim
     budget_left = resident_budget
     dev = jax.devices()[0]
+    # resumable enrollment: trust complete per-group files from an
+    # interrupted earlier run (written via tmp+rename, so any g####.npy
+    # present is complete) — except the newest one, which an older writer
+    # may have left half-written; re-enroll that one.
+    resume_upto = -1
+    if cache_path is not None and os.path.isdir(cache_path):
+        have = sorted(f for f in os.listdir(cache_path)
+                      if f.startswith("g") and f.endswith(".npy"))
+        contiguous = [f"g{g:04d}.npy" for g in range(len(have))]
+        if have and have == contiguous:
+            resume_upto = len(have) - 2  # newest file is suspect
+        if verbose and resume_upto >= 0:
+            import sys
+            print(f"# resuming enrollment: groups 0..{resume_upto} cached",
+                  file=sys.stderr)
     for g in range(num_groups):
+        if engine == "native" and cache_path is not None and g <= resume_upto:
+            c0 = np.load(os.path.join(cache_path, f"g{g:04d}.npy"),
+                         mmap_mode="r")
+            if budget_left >= gbytes:
+                c0 = jax.device_put(np.ascontiguousarray(c0), dev)
+                budget_left -= gbytes
+            store.groups.append(c0)
+            continue
         lo_r = g * group_rows
         hi_r = min(nvec, (g + 1) * group_rows)
         sq = np.zeros((mpb, dim, dim))
@@ -234,12 +257,15 @@ def enroll_diag_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
             if cache_path is not None:
                 try:
                     os.makedirs(cache_path, exist_ok=True)
+                    final = os.path.join(cache_path, f"g{g:04d}.npy")
+                    tmp = final + ".tmp"
                     fm = np.lib.format.open_memmap(
-                        os.path.join(cache_path, f"g{g:04d}.npy"), mode="w+",
-                        dtype=np.uint32, shape=c0.shape)
+                        tmp, mode="w+", dtype=np.uint32, shape=c0.shape)
                     fm[:] = c0
                     fm.flush()
-                    c0 = fm
+                    del fm
+                    os.replace(tmp, final)  # atomic: present => complete
+                    c0 = np.load(final, mmap_mode="r")
                 except OSError:  # out of disk: keep going uncached
                     cache_path = None
             if budget_left >= gbytes:
