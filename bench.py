@@ -7,19 +7,32 @@ Prints ONE JSON line:
 Baseline: reference server membership computation time at the same DB size
 on a 48-core Xeon (BASELINE.md, tools/figures/approach5.csv).
 
+Robustness: the driver runs this under a hard timeout.  We therefore
+(a) keep a best-so-far result in memory from the first (warmup) run on,
+(b) install SIGTERM/SIGINT/SIGALRM handlers that print the best-so-far
+    JSON and exit 0, and
+(c) enforce an internal deadline (IMTPU_BENCH_DEADLINE_S, default 1350 s)
+    that fires before any plausible driver budget, so a slow compile or a
+    wedged TPU session can never yield zero captured data again
+    (round-2 failure mode: rc=124, parsed null).
+
 Env knobs:
   BENCH_LOG2N     log2 of DB size (default 20 — the north-star size)
   BENCH_RING      ring dimension (default 32768)
   BENCH_SCENARIO  membership (default) | index
   BENCH_STREAM    1 = host-streamed seed-compressed DB (default at >= 2^16)
+  IMTPU_BENCH_DEADLINE_S  internal wall-clock budget (default 1350)
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
 
 # Reference HyDia seconds by log2(DB size) — BASELINE.md table
 # (tools/figures/approach5.csv: membership / identification).
@@ -29,6 +42,39 @@ REF_MEMBERSHIP = {10: 5.89, 11: 4.46, 12: 4.54, 13: 4.49, 14: 4.52,
 REF_INDEX = {10: 4.68, 11: 4.19, 12: 4.20, 13: 4.35, 14: 4.18,
              15: 5.85, 16: 9.01, 17: 15.47, 18: 27.63, 19: 49.70,
              20: 96.52}
+
+_BEST = {}  # best-so-far result; printed exactly once at exit
+
+
+def _deadline_s() -> float:
+    return float(os.environ.get("IMTPU_BENCH_DEADLINE_S", "1350"))
+
+
+def _remaining() -> float:
+    return _deadline_s() - (time.time() - _T0)
+
+
+def _emit_and_exit(code: int = 0):
+    """Print the single JSON result line (best-so-far) and exit."""
+    if _BEST:
+        print(json.dumps(_BEST), flush=True)
+    else:
+        print(json.dumps({"metric": "bench_no_result", "value": 0,
+                          "unit": "", "vs_baseline": 0}), flush=True)
+    os._exit(code)
+
+
+def _install_guards():
+    def handler(signum, frame):
+        print(f"# bench: signal {signum} at t={time.time()-_T0:.1f}s; "
+              f"emitting best-so-far", file=sys.stderr, flush=True)
+        _emit_and_exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+        signal.signal(sig, handler)
+    # SIGALRM fires at the internal deadline even if we are blocked inside
+    # a jax compile/execute call (those release the GIL).
+    signal.setitimer(signal.ITIMER_REAL, max(1.0, _deadline_s()))
 
 
 def bench_ctmult():
@@ -45,7 +91,6 @@ def bench_ctmult():
     params = SchemeParams.create(ring_dim=ring, mult_depth=11,
                                  security="128c" if ring >= 32768 else "none")
     ctx = CkksContext(params, seed=0)
-    import numpy as np
     z = np.random.default_rng(0).uniform(-1, 1, (2, ctx.slots))
     data = ctx.encrypt_batch(z)
 
@@ -54,6 +99,7 @@ def bench_ctmult():
         b = Ciphertext(d2, ctx.fresh_scale)
         return ctx.rescale_score(ctx.relinearize(ctx.mul(a, b))).data
 
+    import jax
     jf = jax.jit(f)
     out = jf(data[0], data[1])
     jax.block_until_ready(out)
@@ -63,12 +109,13 @@ def bench_ctmult():
         out = jf(data[0], data[1])
     jax.block_until_ready(out)
     per = (_t.time() - t0) / reps
-    print(json.dumps({
+    _BEST.update({
         "metric": "ct_mult_relin_rescale_ops_per_s",
         "value": round(1.0 / per, 1),
         "unit": "ops/s/chip",
         "vs_baseline": 0.0,
-    }))
+    })
+    _emit_and_exit(0)
 
 
 def _device_warmup_or_reexec(timeout_s: float = 180.0):
@@ -93,9 +140,11 @@ def _device_warmup_or_reexec(timeout_s: float = 180.0):
         return
     attempt = int(os.environ.get("IMTPU_BENCH_ATTEMPT", "0"))
     if attempt >= 5:
-        print(json.dumps({"metric": "error_tpu_session_wedged", "value": 0,
-                          "unit": "", "vs_baseline": 0}))
-        sys.exit(3)
+        _BEST.setdefault("metric", "error_tpu_session_wedged")
+        _BEST.setdefault("value", 0)
+        _BEST.setdefault("unit", "")
+        _BEST.setdefault("vs_baseline", 0)
+        _emit_and_exit(3)
     print(f"# TPU session wedged; re-exec attempt {attempt + 1}", file=sys.stderr)
     os.environ["IMTPU_BENCH_ATTEMPT"] = str(attempt + 1)
     time.sleep(90)
@@ -103,6 +152,7 @@ def _device_warmup_or_reexec(timeout_s: float = 180.0):
 
 
 def main():
+    _install_guards()
     if os.environ.get("BENCH_METRIC") == "ctmult":
         _device_warmup_or_reexec()
         bench_ctmult()
@@ -112,8 +162,10 @@ def main():
     except Exception as e:  # e.g. HBM OOM at the north-star size
         fallback = os.environ.get("BENCH_FALLBACK_LOG2N", "17,13")
         sizes = [s for s in fallback.split(",") if s]
-        if not sizes:
-            raise
+        if not sizes or _remaining() < 240:
+            print(f"# bench failed terminally ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+            _emit_and_exit(0 if _BEST else 1)
         print(f"# bench failed ({type(e).__name__}: {e}); "
               f"falling back to 2^{sizes[0]}", file=sys.stderr)
         os.environ["BENCH_LOG2N"] = sizes[0]
@@ -151,12 +203,16 @@ def _run_scenario():
     proto = MatchingProtocol.setup(5, db, cfg, params=params, seed=0,
                                    streamed=streamed,
                                    **({"verbose": True} if streamed else {}))
-    print(f"# setup+enroll: {time.time()-t0:.1f}s (streamed={streamed})",
-          file=sys.stderr)
+    print(f"# setup+enroll: {time.time()-t0:.1f}s (streamed={streamed}, "
+          f"deadline remaining {_remaining():.0f}s)", file=sys.stderr,
+          flush=True)
     del db
 
     qcts = proto.encrypt_query(query)
     jax.block_until_ready([c.data for c in qcts])
+
+    ref = REF_INDEX.get(log2n) if scenario == "index" else \
+        REF_MEMBERSHIP.get(log2n)
 
     def run():
         if scenario == "index":
@@ -167,35 +223,54 @@ def _run_scenario():
             jax.block_until_ready(out.data)
         return out
 
-    # compile + warmup
+    def record(elapsed, note):
+        vs = (ref / elapsed) if ref else 0.0
+        _BEST.update({
+            "metric": f"hydia_{scenario}_2^{log2n}_server_compute",
+            "value": round(elapsed, 4),
+            "unit": "seconds",
+            "vs_baseline": round(vs, 2),
+        })
+        print(f"# best-so-far [{note}]: {elapsed:.2f}s "
+              f"(vs_baseline {vs:.2f})", file=sys.stderr, flush=True)
+
+    # compile + warmup run — already a valid (pessimistic) measurement:
+    # it includes jit-cache loads and first-touch streaming
     t0 = time.time()
     out = run()
-    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    first = time.time() - t0
+    print(f"# compile+first run: {first:.1f}s", file=sys.stderr, flush=True)
+    record(first, "warmup")
+    _check(out, proto, scenario)
 
-    t0 = time.time()
-    out = run()
-    elapsed = time.time() - t0
+    # steady-state timed run, only if the deadline allows a full pass
+    # (streamed first-touch paid for page cache + jit; ~1.2x margin)
+    if _remaining() > first * 1.2 + 30:
+        t0 = time.time()
+        out = run()
+        elapsed = time.time() - t0
+        record(elapsed, "steady-state")
+        _check(out, proto, scenario)
+    else:
+        print(f"# skipping steady-state run: {_remaining():.0f}s left < "
+              f"{first * 1.2 + 30:.0f}s needed", file=sys.stderr)
+    _emit_and_exit(0)
 
+
+def _check(out, proto, scenario):
+    import sys as _s
     if scenario == "index":
         idx = proto.decrypt_index(out)
         ok = 0 in idx
         print(f"# index result (expect planted 0): {sorted(idx)[:5]}",
-              file=sys.stderr)
-        ref = REF_INDEX.get(log2n)
+              file=_s.stderr)
     else:
         ok = proto.decrypt_membership(out)
-        print(f"# membership result (expect True): {ok}", file=sys.stderr)
-        ref = REF_MEMBERSHIP.get(log2n)
+        print(f"# membership result (expect True): {ok}", file=_s.stderr)
     if not ok:
-        print("# CORRECTNESS FAILURE", file=sys.stderr)
-
-    vs = (ref / elapsed) if ref else 0.0
-    print(json.dumps({
-        "metric": f"hydia_{scenario}_2^{log2n}_server_compute",
-        "value": round(elapsed, 4),
-        "unit": "seconds",
-        "vs_baseline": round(vs, 2),
-    }))
+        print("# CORRECTNESS FAILURE", file=_s.stderr)
+        _BEST["metric"] = _BEST.get("metric", "") + "_WRONG_RESULT"
+        _BEST["vs_baseline"] = 0.0
 
 
 if __name__ == "__main__":

@@ -44,9 +44,17 @@ class MatchingProtocol:
         n = database.shape[0]
         if streamed:
             from . import streaming
-            assert approach == 5, "streaming is implemented for approach 5"
-            store = streaming.enroll_diag_streamed(ctx, cfg, database, **stream_kw)
-            sender: senders.Sender = streaming.StreamedDiagonalSender(ctx, cfg, store)
+            assert approach in (4, 5), \
+                "streaming is implemented for approaches 4 (HERS) and 5 (HyDia)"
+            if approach == 5:
+                store = streaming.enroll_diag_streamed(
+                    ctx, cfg, database, **stream_kw)
+                sender: senders.Sender = streaming.StreamedDiagonalSender(
+                    ctx, cfg, store)
+            else:
+                hstore = streaming.enroll_hers_streamed(
+                    ctx, cfg, database, **stream_kw)
+                sender = streaming.StreamedHersSender(ctx, cfg, hstore)
         else:
             enroll = {
                 1: enrollers.enroll_base,

@@ -36,21 +36,19 @@ from .senders import Sender, ct_dot, _mod_sum_rows
 from .vector_utils import normalize
 
 
-class DiagStore:
-    """Seed-compressed diagonal-layout encrypted DB.
+class _SeededStore:
+    """Seed-compressed encrypted DB: groups[g] is the c0 stack [dim, L, N]
+    (uint32 Montgomery/eval) — a jnp array for device-resident groups,
+    numpy (host RAM) otherwise.  The matching c1 for group g is
+    `ctx.expand_c1(seed, g, dim, L)` (Threefry stream, ops/prng.py)."""
 
-    groups[g] is the c0 stack [dim, L, N] (uint32 Montgomery/eval) — a
-    jnp array for device-resident groups, numpy (host RAM) otherwise.
-    The matching c1 for group g is `ctx.expand_c1(seed, g, dim, L)`
-    (Threefry stream, ops/prng.py)."""
+    layout = "base"
 
     def __init__(self, ctx: CkksContext, num_vectors: int, scale: float,
-                 bsgs: bool, n1: int, seed: int):
+                 seed: int):
         self.ctx = ctx
         self.num_vectors = num_vectors
         self.scale = scale
-        self.bsgs = bsgs
-        self.n1 = n1
         self.seed = seed
         self.groups: List = []
 
@@ -64,6 +62,29 @@ class DiagStore:
 
     def resident_count(self) -> int:
         return sum(1 for g in self.groups if isinstance(g, jnp.ndarray))
+
+
+class DiagStore(_SeededStore):
+    """Diagonal (HyDia) layout: group g holds the `dim` generalized
+    diagonals of `slots/dim` square matrices, BSGS-pre-rotated when
+    requested (reference src/enroller/enroller_diag.cpp)."""
+
+    layout = "diag"
+
+    def __init__(self, ctx: CkksContext, num_vectors: int, scale: float,
+                 bsgs: bool, n1: int, seed: int):
+        super().__init__(ctx, num_vectors, scale, seed)
+        self.bsgs = bsgs
+        self.n1 = n1
+
+
+class HersStore(_SeededStore):
+    """Dimension-major (HERS) layout: group m holds feature-ciphertexts
+    d_{m,j} of `slots` consecutive DB vectors (reference
+    src/enroller/enroller_hers.cpp:41-89); the reference streams these
+    per-op from disk (sender_hers.cpp:88-98)."""
+
+    layout = "hers"
 
 
 def _hbm_budget_bytes(ctx: CkksContext) -> int:
@@ -118,7 +139,8 @@ def _db_fingerprint(db: np.ndarray) -> str:
 
 
 def _store_cache_path(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
-                      seed: int, bsgs: bool, n1: int) -> Optional[str]:
+                      seed: int, bsgs: bool, n1: int,
+                      layout: str = "diag") -> Optional[str]:
     """Cache key covers everything that determines the c0 bytes: scheme
     primes, ring, context seed (-> secret key), layout, and the plaintext
     DB content.  Mirrors the reference's offline enroll-to-disk
@@ -127,13 +149,16 @@ def _store_cache_path(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
     root = _cache_dir()
     if root is None:
         return None
-    key = hashlib.sha1(json.dumps([
+    material = [
         int(ctx.n), [int(q) for q in ctx.q_np[: ctx.Lq]],
         float(ctx.fresh_scale), int(getattr(ctx, "seed", 0)),
         int(cfg.vector_dim), int(db.shape[0]), int(seed), bool(bsgs),
         int(n1), _db_fingerprint(db),
-    ]).encode()).hexdigest()[:20]
-    return os.path.join(root, f"diag_{db.shape[0]}_{key}")
+    ]
+    if layout != "diag":  # keep pre-existing diag cache keys valid
+        material.append(layout)
+    key = hashlib.sha1(json.dumps(material).encode()).hexdigest()[:20]
+    return os.path.join(root, f"{layout}_{db.shape[0]}_{key}")
 
 
 def _promote_resident(store: DiagStore, resident_budget: int) -> None:
@@ -149,19 +174,23 @@ def _promote_resident(store: DiagStore, resident_budget: int) -> None:
         budget_left -= gbytes
 
 
-def _load_cached_store(path: str, ctx: CkksContext, nvec: int, scale: float,
-                       bsgs: bool, n1: int, seed: int,
+def _load_cached_store(path: str, store: _SeededStore,
                        resident_budget: int, verbose: bool
-                       ) -> Optional[DiagStore]:
+                       ) -> Optional[_SeededStore]:
+    """Fill an empty store from a completed on-disk enrollment cache."""
+    ctx = store.ctx
     meta_p = os.path.join(path, "meta.json")
     if not os.path.exists(meta_p):
         return None
     with open(meta_p) as f:
         meta = json.load(f)
-    store = DiagStore(ctx, nvec, scale, bsgs, n1, seed)
+    dim = meta.get("dim")
     for g in range(meta["num_groups"]):
-        store.groups.append(
-            np.load(os.path.join(path, f"g{g:04d}.npy"), mmap_mode="r"))
+        arr = np.load(os.path.join(path, f"g{g:04d}.npy"), mmap_mode="r")
+        if arr.dtype != np.uint32 or arr.ndim != 3 or arr.shape[1:] != (
+                ctx.Lq, ctx.n) or (dim and arr.shape[0] != dim):
+            return None  # stale/foreign cache layout: re-enroll
+        store.groups.append(arr)
     _promote_resident(store, resident_budget)
     if verbose:
         import sys
@@ -192,42 +221,89 @@ def enroll_diag_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
     engine="auto": native when the C++ library is available and the store
     will not be fully device-resident, else device."""
     dim = cfg.vector_dim
-    batch = ctx.slots
-    mpb = batch // dim
-    nvec = db.shape[0]
+    mpb = ctx.slots // dim
     if bsgs is None:
         bsgs = cfg.use_bsgs
     n1 = diag_bsgs_n1(dim) if bsgs else 1
-    nmat = math.ceil(nvec / dim)
-    num_groups = math.ceil(nmat / mpb)
+    store = DiagStore(ctx, db.shape[0], ctx.fresh_scale, bsgs, n1, seed)
+
+    def vals_fn(rows: np.ndarray) -> np.ndarray:
+        sq = np.zeros((mpb, dim, dim))
+        sq.reshape(-1, dim)[: rows.shape[0]] = rows
+        return diag_group_vals(sq, dim, mpb, bsgs, n1)  # [dim, batch]
+
+    return _enroll_streamed(ctx, cfg, db, store, vals_fn,
+                            cache_extra=(bsgs, n1), seed=seed,
+                            resident_budget=resident_budget, engine=engine,
+                            verbose=verbose)
+
+
+def enroll_hers_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
+                         seed: int = 1234,
+                         resident_budget: Optional[int] = None,
+                         engine: str = "auto",
+                         verbose: bool = False) -> HersStore:
+    """Enroll into the dimension-major HERS layout, seed-compressed and
+    host-streamed — covers the reference's 2^16-2^20 HERS column
+    (src/enroller/enroller_hers.cpp:41-89 + sender_hers.cpp:88-98) beyond
+    the device-resident HersDB's HBM reach."""
+    dim = cfg.vector_dim
+    batch = ctx.slots
+    store = HersStore(ctx, db.shape[0], ctx.fresh_scale, seed)
+
+    def vals_fn(rows: np.ndarray) -> np.ndarray:
+        full = np.zeros((batch, dim))
+        full[: rows.shape[0]] = rows
+        return np.ascontiguousarray(full.T)  # [dim, batch]: feature-major
+
+    return _enroll_streamed(ctx, cfg, db, store, vals_fn,
+                            cache_extra=(False, 0), seed=seed,
+                            resident_budget=resident_budget, engine=engine,
+                            verbose=verbose)
+
+
+def _enroll_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
+                     store: _SeededStore, vals_fn, cache_extra, seed: int,
+                     resident_budget: Optional[int], engine: str,
+                     verbose: bool) -> _SeededStore:
+    """Layout-generic streamed enrollment: per group of `slots` vectors,
+    compute the slot values via `vals_fn(rows) -> [dim, batch]`, seeded-
+    encrypt to a c0 stack, cache/resume on disk, and keep leading groups
+    device-resident up to the HBM budget."""
+    dim = cfg.vector_dim
+    nvec = db.shape[0]
+    group_rows = ctx.slots  # vectors covered per group, every layout
+    num_groups = math.ceil(nvec / group_rows)
     if resident_budget is None:
         resident_budget = _hbm_budget_bytes(ctx)
     gbytes = dim * ctx.Lq * ctx.n * 4
     # disk cache: enrollment is offline work (the reference enrolls to disk
     # and streams, src/sender/sender_diag.cpp:85-94); big DBs enroll once
     cache_on = (nvec >= (1 << 16)) or bool(os.environ.get("IMTPU_STORE_DIR"))
-    cache_path = (_store_cache_path(ctx, cfg, db, seed, bsgs, n1)
+    cache_path = (_store_cache_path(ctx, cfg, db, seed, *cache_extra,
+                                    layout=store.layout)
                   if cache_on else None)
     if cache_path is not None:
-        cached = _load_cached_store(cache_path, ctx, nvec, ctx.fresh_scale,
-                                    bsgs, n1, seed, resident_budget, verbose)
+        cached = _load_cached_store(cache_path, store, resident_budget,
+                                    verbose)
         if cached is not None:
             return cached
+        store.groups = []  # partially-filled by a failed load
     if engine == "auto":
         from ..utils import native
         all_resident = resident_budget >= gbytes * num_groups
         engine = "native" if native.available() and not all_resident else "device"
-    store = DiagStore(ctx, nvec, ctx.fresh_scale, bsgs, n1, seed)
     db = normalize(db)
-    group_rows = mpb * dim
     budget_left = resident_budget
     dev = jax.devices()[0]
     # resumable enrollment: trust complete per-group files from an
-    # interrupted earlier run (written via tmp+rename, so any g####.npy
-    # present is complete) — except the newest one, which an older writer
-    # may have left half-written; re-enroll that one.
+    # interrupted earlier run (written via tmp+rename+fsync, so any
+    # g####.npy present is complete) — except the newest one, which an
+    # older writer may have left half-written; re-enroll that one.  Only
+    # the native engine consumes the cache (it is the only writer).
     resume_upto = -1
-    if cache_path is not None and os.path.isdir(cache_path):
+    if engine == "native" and cache_path is not None \
+            and os.path.isdir(cache_path):
         have = sorted(f for f in os.listdir(cache_path)
                       if f.startswith("g") and f.endswith(".npy"))
         contiguous = [f"g{g:04d}.npy" for g in range(len(have))]
@@ -239,18 +315,24 @@ def enroll_diag_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
                   file=sys.stderr)
     for g in range(num_groups):
         if engine == "native" and cache_path is not None and g <= resume_upto:
-            c0 = np.load(os.path.join(cache_path, f"g{g:04d}.npy"),
-                         mmap_mode="r")
-            if budget_left >= gbytes:
-                c0 = jax.device_put(np.ascontiguousarray(c0), dev)
-                budget_left -= gbytes
-            store.groups.append(c0)
-            continue
+            try:
+                c0 = np.load(os.path.join(cache_path, f"g{g:04d}.npy"),
+                             mmap_mode="r")
+                ok = (c0.dtype == np.uint32
+                      and c0.shape == (dim, ctx.Lq, ctx.n))
+            except (ValueError, OSError):
+                ok = False
+            if not ok:
+                resume_upto = g - 1  # torn/foreign file: re-enroll from here
+            else:
+                if budget_left >= gbytes:
+                    c0 = jax.device_put(np.ascontiguousarray(c0), dev)
+                    budget_left -= gbytes
+                store.groups.append(c0)
+                continue
         lo_r = g * group_rows
         hi_r = min(nvec, (g + 1) * group_rows)
-        sq = np.zeros((mpb, dim, dim))
-        sq.reshape(-1, dim)[: hi_r - lo_r] = db[lo_r:hi_r]
-        vals = diag_group_vals(sq, dim, mpb, bsgs, n1)  # [dim, batch]
+        vals = vals_fn(db[lo_r:hi_r])  # [dim, batch]
         if engine == "native":
             c0 = ctx.encrypt_seeded_batch_host(vals, seed, g)
             assert c0 is not None, "native engine requested but unavailable"
@@ -258,13 +340,23 @@ def enroll_diag_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
                 try:
                     os.makedirs(cache_path, exist_ok=True)
                     final = os.path.join(cache_path, f"g{g:04d}.npy")
-                    tmp = final + ".tmp"
+                    # writer-unique tmp so concurrent enrollments of the
+                    # same DB never interleave into one tmp file
+                    tmp = f"{final}.{os.getpid()}.tmp"
                     fm = np.lib.format.open_memmap(
                         tmp, mode="w+", dtype=np.uint32, shape=c0.shape)
                     fm[:] = c0
                     fm.flush()
                     del fm
+                    # fsync file + dir so present => complete holds across
+                    # power loss, not just process crashes
+                    fd = os.open(tmp, os.O_RDONLY)
+                    os.fsync(fd)
+                    os.close(fd)
                     os.replace(tmp, final)  # atomic: present => complete
+                    dfd = os.open(cache_path, os.O_RDONLY)
+                    os.fsync(dfd)
+                    os.close(dfd)
                     c0 = np.load(final, mmap_mode="r")
                 except OSError:  # out of disk: keep going uncached
                     cache_path = None
@@ -286,98 +378,35 @@ def enroll_diag_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
     if engine == "native" and cache_path is not None:
         # meta.json written last = completeness marker
         with open(os.path.join(cache_path, "meta.json"), "w") as f:
-            json.dump({"num_groups": num_groups, "nvec": nvec,
-                       "bsgs": bsgs, "n1": n1, "seed": seed}, f)
+            json.dump({"num_groups": num_groups, "nvec": nvec, "dim": dim,
+                       "layout": store.layout, "seed": seed}, f)
     return store
 
 
-class StreamedDiagonalSender(Sender):
-    """Approach 5 (HyDia) over a DiagStore: identical math to
-    DiagonalSender (reference src/sender/sender_diag.cpp) but the per-group
-    loop runs in Python with async h2d prefetch of the next group's c0
-    overlapping the current group's similarity segment, and c1 expanded
-    on-device from the enrollment seed."""
+class _StreamedSender(Sender):
+    """Shared streamed-sender machinery: per-group Python loop with async
+    h2d prefetch of the next group's c0 overlapping the current group's
+    similarity segment, c1 expanded on-device from the enrollment seed —
+    the TPU equivalent of the reference's per-op DB deserialization
+    (src/sender/sender_hers.cpp:88-98, sender_diag.cpp:85-94).
+    Subclasses provide `_query_stack` and `_group_segment`."""
 
-    def __init__(self, ctx: CkksContext, cfg: MatchConfig, store: DiagStore):
+    def __init__(self, ctx: CkksContext, cfg: MatchConfig,
+                 store: _SeededStore):
         super().__init__(ctx, cfg, store.num_vectors)
         self.store = store
 
-    def required_rotations(self) -> List[int]:
-        dim = self.cfg.vector_dim
-        if self.store.bsgs:
-            n1 = self.store.n1
-            n2 = dim // n1
-            return list(range(1, n1)) + [n1 * j for j in range(1, n2)]
-        return list(range(1, dim))
-
-    # -- jit segments ----------------------------------------------------
-
-    def _query_stack(self, qct: Ciphertext) -> jnp.ndarray:
-        """All baby rotations of the query as one hoisted-keyswitch
-        segment: [n1, 2, l, N]."""
-        n1 = self.store.n1 if self.store.bsgs else self.cfg.vector_dim
-
-        def builder(meta):
-            def fn(state, qd):
-                with self.ctx.bound_state(state):
-                    q = Ciphertext(qd, self.ctx.fresh_scale)
-                    if n1 == 1:
-                        return q.data[None]
-                    digs = self.ctx.hoisted_precompute(q)
-                    rot = self.ctx.hoisted_rotate_stack(
-                        q, digs, list(range(1, n1)))
-                    return jnp.concatenate([q.data[None], rot], axis=0)
-            return fn
-
-        fn, _ = self._seg(("stream_qstack", qct.data.shape), builder)
-        return fn(self.ctx.device_state(), qct.data)
+    def _query_stack(self, query: List[Ciphertext]) -> jnp.ndarray:
+        raise NotImplementedError
 
     def _group_segment(self):
-        ctx, cfg = self.ctx, self.cfg
-        dim = cfg.vector_dim
-        n1 = self.store.n1 if self.store.bsgs else dim
-        n2 = dim // n1
-        sq = ctx.fresh_scale
-        sdb = self.store.scale
-
-        seed = self.store.seed
-
-        def builder(meta):
-            def fn(state, Q, c0, g):
-                with ctx.bound_state(state):
-                    l = c0.shape[-2]
-                    c1 = ctx.expand_c1(seed, g, c0.shape[0], l)
-                    dbd = jnp.stack([c0, c1], axis=1)  # [dim, 2, l, N]
-                    q, _ = ctx._qrow(ctx.q_limbs(l))
-                    if n2 == 1:
-                        t3 = ct_dot(ctx, Q, dbd)
-                        out = ctx.rescale_score(
-                            ctx.relinearize(Ciphertext(t3, sq * sdb)))
-                    else:
-                        blocks = dbd.reshape(n2, n1, *dbd.shape[1:])
-                        t3 = jax.vmap(lambda blk: ct_dot(ctx, Q, blk))(blocks)
-                        prod_scale = sq * sdb
-                        inners = jax.vmap(
-                            lambda d: ctx.relinearize(
-                                Ciphertext(d, prod_scale)).data
-                        )(t3)
-                        rot = ctx.rotate_stack(
-                            inners[1:], [n1 * j for j in range(1, n2)],
-                            prod_scale)
-                        summed = mm.mod_add(
-                            inners[0], _mod_sum_rows(rot, q), q)
-                        out = ctx.rescale_score(Ciphertext(summed, prod_scale))
-                    meta["scale"] = out.scale
-                    return out.data
-            return fn
-
-        return self._seg(("stream_group", self.store.groups[0].shape), builder)
+        raise NotImplementedError
 
     def _similarity_stream(self, query: List[Ciphertext]):
         """Stream all groups through the similarity segment with one-group
         lookahead prefetch.  Returns (score stack [G, 2, l', N], scale)."""
         ctx = self.ctx
-        Q = self._query_stack(query[0])
+        Q = self._query_stack(query)
         fn, meta = self._group_segment()
         state = ctx.device_state()
         dev = jax.devices()[0]
@@ -417,3 +446,128 @@ class StreamedDiagonalSender(Sender):
         fstack, fscale = self._compare_segments(
             sdata, scale, self.cfg.match_threshold)
         return [Ciphertext(fstack[i], fscale) for i in range(fstack.shape[0])]
+
+
+class StreamedDiagonalSender(_StreamedSender):
+    """Approach 5 (HyDia) over a DiagStore: identical math to
+    DiagonalSender (reference src/sender/sender_diag.cpp) with the
+    streamed per-group loop of _StreamedSender."""
+
+    def required_rotations(self) -> List[int]:
+        dim = self.cfg.vector_dim
+        if self.store.bsgs:
+            n1 = self.store.n1
+            n2 = dim // n1
+            return list(range(1, n1)) + [n1 * j for j in range(1, n2)]
+        return list(range(1, dim))
+
+    # -- jit segments ----------------------------------------------------
+
+    def _query_stack(self, query: List[Ciphertext]) -> jnp.ndarray:
+        """All baby rotations of the query as one hoisted-keyswitch
+        segment: [n1, 2, l, N]."""
+        qct = query[0]
+        n1 = self.store.n1 if self.store.bsgs else self.cfg.vector_dim
+
+        def builder(meta):
+            def fn(state, qd):
+                with self.ctx.bound_state(state):
+                    q = Ciphertext(qd, self.ctx.fresh_scale)
+                    if n1 == 1:
+                        return q.data[None]
+                    digs = self.ctx.hoisted_precompute(q)
+                    rot = self.ctx.hoisted_rotate_stack(
+                        q, digs, list(range(1, n1)))
+                    return jnp.concatenate([q.data[None], rot], axis=0)
+            return fn
+
+        fn, _ = self._seg(("stream_qstack", qct.data.shape), builder)
+        return fn(self.ctx.device_state(), qct.data)
+
+    def _group_compute(self, Q, c0, g, valid=None):
+        """Similarity for one streamed group (ctx state already bound):
+        expand the seeded c1, diagonal BSGS matvec against the hoisted
+        query rotations, relinearize, rescale.  Returns (data, scale).
+        `valid` (uint32 0/1) zeroes c1 for all-zero padding groups so they
+        stay exact encryptions of 0 (sharded uneven-group padding)."""
+        ctx, cfg = self.ctx, self.cfg
+        dim = cfg.vector_dim
+        n1 = self.store.n1 if self.store.bsgs else dim
+        n2 = dim // n1
+        sq = ctx.fresh_scale
+        sdb = self.store.scale
+        l = c0.shape[-2]
+        c1 = ctx.expand_c1(self.store.seed, g, c0.shape[0], l)
+        if valid is not None:
+            c1 = c1 * valid
+        dbd = jnp.stack([c0, c1], axis=1)  # [dim, 2, l, N]
+        q, _ = ctx._qrow(ctx.q_limbs(l))
+        if n2 == 1:
+            t3 = ct_dot(ctx, Q, dbd)
+            out = ctx.rescale_score(
+                ctx.relinearize(Ciphertext(t3, sq * sdb)))
+        else:
+            blocks = dbd.reshape(n2, n1, *dbd.shape[1:])
+            t3 = jax.vmap(lambda blk: ct_dot(ctx, Q, blk))(blocks)
+            prod_scale = sq * sdb
+            inners = jax.vmap(
+                lambda d: ctx.relinearize(
+                    Ciphertext(d, prod_scale)).data
+            )(t3)
+            rot = ctx.rotate_stack(
+                inners[1:], [n1 * j for j in range(1, n2)],
+                prod_scale)
+            summed = mm.mod_add(
+                inners[0], _mod_sum_rows(rot, q), q)
+            out = ctx.rescale_score(Ciphertext(summed, prod_scale))
+        return out.data, out.scale
+
+    def _group_segment(self):
+        ctx = self.ctx
+
+        def builder(meta):
+            def fn(state, Q, c0, g):
+                with ctx.bound_state(state):
+                    data, scale = self._group_compute(Q, c0, g)
+                    meta["scale"] = scale
+                    return data
+            return fn
+
+        return self._seg(("stream_group", self.store.groups[0].shape), builder)
+
+
+class StreamedHersSender(_StreamedSender):
+    """Approach 4 (HERS) over a HersStore: score(m) = sum_j q_j (*) d_{m,j}
+    (reference src/sender/sender_hers.cpp:61-84) with the DB streamed
+    per-group exactly like the reference's computeSimilaritySerial
+    (sender_hers.cpp:88-98).  The 512-ciphertext query stays device-
+    resident across groups; only c0 stacks stream."""
+
+    def _query_stack(self, query: List[Ciphertext]) -> jnp.ndarray:
+        return jnp.stack([c.data for c in query])  # [dim, 2, l, N]
+
+    def _group_compute(self, Q, c0, g, valid=None):
+        ctx = self.ctx
+        l = c0.shape[-2]
+        c1 = ctx.expand_c1(self.store.seed, g, c0.shape[0], l)
+        if valid is not None:
+            c1 = c1 * valid
+        dbd = jnp.stack([c0, c1], axis=1)  # [dim, 2, l, N]
+        t3 = ct_dot(ctx, Q, dbd)
+        out = ctx.rescale_score(
+            ctx.relinearize(Ciphertext(t3, ctx.fresh_scale * self.store.scale)))
+        return out.data, out.scale
+
+    def _group_segment(self):
+        ctx = self.ctx
+
+        def builder(meta):
+            def fn(state, Q, c0, g):
+                with ctx.bound_state(state):
+                    data, scale = self._group_compute(Q, c0, g)
+                    meta["scale"] = scale
+                    return data
+            return fn
+
+        return self._seg(
+            ("stream_hers_group", self.store.groups[0].shape), builder)

@@ -7,6 +7,8 @@ Both must produce the same results as the optimized defaults."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from image_matching_tpu.ckks.params import SchemeParams, compute_required_depth
 from image_matching_tpu.ckks.context import CkksContext
 from image_matching_tpu.matching.config import MatchConfig

@@ -55,7 +55,13 @@ def _setup(approach, nvec=NVEC, seed=1):
     return proto, query, db
 
 
-@pytest.mark.parametrize("approach", [5, 4, 1, 3, 2])
+@pytest.mark.parametrize(
+    "approach",
+    [5,
+     pytest.param(4, marks=pytest.mark.slow),
+     pytest.param(1, marks=pytest.mark.slow),
+     pytest.param(3, marks=pytest.mark.slow),
+     pytest.param(2, marks=pytest.mark.slow)])
 def test_end_to_end(approach):
     proto, query, db = _setup(approach)
     qcts = proto.encrypt_query(query)
@@ -70,7 +76,8 @@ def test_end_to_end(approach):
     assert 0 in got  # the planted match
 
 
-@pytest.mark.parametrize("approach", [5, 4])
+@pytest.mark.parametrize(
+    "approach", [5, pytest.param(4, marks=pytest.mark.slow)])
 def test_score_parity(approach):
     """Raw similarity scores must match the plaintext cosine oracle to 1e-4
     (the reference's intended numeric check, src/main_accuracy.cpp:354-364)."""
@@ -87,6 +94,7 @@ def test_score_parity(approach):
     np.testing.assert_allclose(got, sims, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_end_to_end_monolithic(monkeypatch):
     """Same approach-5 flow through the monolithic single-jit runner (the
     TPU default is segmented — senders._use_segments; keep the one-XLA-

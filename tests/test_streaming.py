@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from image_matching_tpu.ckks.params import SchemeParams, compute_required_depth
 from image_matching_tpu.ckks.context import CkksContext, Ciphertext
 from image_matching_tpu.matching.config import MatchConfig
@@ -115,6 +117,35 @@ def test_streamed_matches_inmemory(nvec):
     for a, b in zip(ref_scores, st_scores):
         np.testing.assert_allclose(
             ctx.decrypt(a), ctx.decrypt(b), atol=2e-5)
+
+    mem = st.sender.run_membership(qcts)
+    assert st.decrypt_membership(mem) is True
+    idx = st.decrypt_index(st.sender.run_index(qcts))
+    ref_idx = ref.decrypt_index(ref.sender.run_index(qcts))
+    assert sorted(idx) == sorted(ref_idx)
+    assert 0 in idx
+
+
+@pytest.mark.parametrize("nvec", [300])
+def test_streamed_hers_matches_inmemory(nvec):
+    """Streamed HERS sender (approach 4, dimension-major groups + seeded
+    c1) matches the device-resident HersSender — the reference streams
+    this layout per-op from disk (src/sender/sender_hers.cpp:88-98)."""
+    cfg = _cfg()
+    ctx = _ctx()
+    query, db = dio.gen_dataset(nvec, DIM, seed=1)
+    ref = MatchingProtocol.setup(4, db, cfg, ctx=ctx)
+    st = MatchingProtocol.setup(4, db, cfg, ctx=ctx, streamed=True,
+                                resident_budget=0, engine="device")
+    assert st.sender.store.resident_count() == 0
+    assert st.sender.store.num_groups == 2  # multi-group prefetch path
+    qcts = ref.encrypt_query(query)
+
+    ref_scores = ref.sender.compute_similarity(qcts)
+    st_scores = st.sender.compute_similarity(qcts)
+    assert len(ref_scores) == len(st_scores)
+    for a, b in zip(ref_scores, st_scores):
+        np.testing.assert_allclose(ctx.decrypt(a), ctx.decrypt(b), atol=2e-5)
 
     mem = st.sender.run_membership(qcts)
     assert st.decrypt_membership(mem) is True

@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 import jax
 
+pytestmark = pytest.mark.slow
+
 from image_matching_tpu.ckks.params import SchemeParams
 from image_matching_tpu.ckks.context import CkksContext, Ciphertext
 from image_matching_tpu.parallel.tensor import TensorParallel, make_tp_mesh
