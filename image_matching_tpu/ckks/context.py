@@ -533,6 +533,32 @@ class CkksContext:
             )
             return c0
 
+    def encode_split(self, values: np.ndarray,
+                     scale: Optional[float] = None
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-side CKKS encode of [B, slots] values to the compact
+        (hi, lo) uint32 coefficient transfer form consumed by
+        `encrypt_seeded_from_split` — cacheable enroller-side material
+        (it is a deterministic function of the plaintext, independent of
+        keys and noise)."""
+        values = np.atleast_2d(np.asarray(values, dtype=np.float64))
+        sc = scale if scale is not None else self.fresh_scale
+        coeffs = encoding.encode(values, self.n, sc)
+        return self.split_coeffs(coeffs)
+
+    def encrypt_seeded_from_split(self, hi: np.ndarray, lo: np.ndarray,
+                                  seed: int, group: int,
+                                  limbs: Optional[int] = None) -> jnp.ndarray:
+        """Seeded encryption from pre-encoded (hi, lo) coefficients: the
+        8-bytes/coeff transfer is the only host->device traffic; NTT,
+        noise, and the seeded mask all run on-device."""
+        l = limbs if limbs is not None else self.Lq
+        ekey = jax.random.key(int(self._rng.integers(0, 2 ** 63)))
+        return self._encrypt_seeded_dev(
+            self.device_state(), jnp.asarray(hi), jnp.asarray(lo),
+            jnp.uint32(group), ekey, l, seed,
+        )
+
     def encrypt_seeded_batch(self, values: np.ndarray, seed: int, group: int,
                              limbs: Optional[int] = None,
                              scale: Optional[float] = None) -> jnp.ndarray:
@@ -542,16 +568,8 @@ class CkksContext:
         time instead of storing/streaming it.  The C++ host engine
         (utils/native.enroll_group) produces the identical c0 stream
         without any device round-trip."""
-        values = np.atleast_2d(np.asarray(values, dtype=np.float64))
-        l = limbs if limbs is not None else self.Lq
-        sc = scale if scale is not None else self.fresh_scale
-        coeffs = encoding.encode(values, self.n, sc)
-        hi, lo = self.split_coeffs(coeffs)
-        ekey = jax.random.key(int(self._rng.integers(0, 2 ** 63)))
-        return self._encrypt_seeded_dev(
-            self.device_state(), jnp.asarray(hi), jnp.asarray(lo),
-            jnp.uint32(group), ekey, l, seed,
-        )
+        hi, lo = self.encode_split(values, scale)
+        return self.encrypt_seeded_from_split(hi, lo, seed, group, limbs)
 
     def encrypt_seeded_batch_host(self, values: np.ndarray, seed: int,
                                   group: int,

@@ -61,7 +61,13 @@ class _SeededStore:
         return int(np.prod(g.shape)) * 4
 
     def resident_count(self) -> int:
-        return sum(1 for g in self.groups if isinstance(g, jnp.ndarray))
+        dev = jax.devices()[0]
+        return sum(1 for g in self.groups if _on_device(g, dev))
+
+    def pinned_count(self) -> int:
+        dev = jax.devices()[0]
+        return sum(1 for g in self.groups
+                   if isinstance(g, jax.Array) and not _on_device(g, dev))
 
 
 class DiagStore(_SeededStore):
@@ -85,6 +91,47 @@ class HersStore(_SeededStore):
     per-op from disk (sender_hers.cpp:88-98)."""
 
     layout = "hers"
+
+
+def _pinned_sharding(dev=None):
+    """Sharding for the TPU host's pinned memory, or None when the backend
+    has no such tier (CPU tests).  On a remote (tunneled) TPU this is the
+    unlock for beyond-HBM DBs: groups staged here once during enrollment
+    move to HBM at PCIe/DMA speed (~10+ GB/s measured) instead of the
+    ~0.2 GB/s client tunnel — the TPU analog of the reference streaming
+    its serialized DB from the OS page cache (src/sender/sender_diag.cpp:85-94)."""
+    if dev is None:
+        dev = jax.devices()[0]
+    try:
+        kinds = [m.kind for m in dev.addressable_memories()]
+    except Exception:
+        return None
+    if "pinned_host" not in kinds:
+        return None
+    from jax.sharding import SingleDeviceSharding
+    return SingleDeviceSharding(dev, memory_kind="pinned_host")
+
+
+def _device_sharding(dev):
+    """Explicit default-memory sharding: device_put of a pinned-host array
+    to a bare Device raises a memory-kind mismatch; the target memory must
+    be named."""
+    from jax.sharding import SingleDeviceSharding
+    try:
+        return SingleDeviceSharding(dev, memory_kind=dev.default_memory().kind)
+    except Exception:
+        return dev
+
+
+def _on_device(arr, dev) -> bool:
+    """True if `arr` already lives in the device's default (HBM) memory."""
+    if not isinstance(arr, jax.Array):
+        return False
+    try:
+        kind = getattr(arr.sharding, "memory_kind", None)
+        return kind is None or kind == dev.default_memory().kind
+    except Exception:
+        return True
 
 
 def _hbm_budget_bytes(ctx: CkksContext) -> int:
@@ -161,16 +208,64 @@ def _store_cache_path(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
     return os.path.join(root, f"{layout}_{db.shape[0]}_{key}")
 
 
+def _enc_cache_path(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
+                    cache_extra, layout: str) -> Optional[str]:
+    """Cache of the pre-encoded (hi, lo) coefficient transfer form — the
+    enroller-side, key-independent half of seeded enrollment.  ~134 MB per
+    group instead of ~1 GB of c0, and loading it turns re-enrollment into
+    pure upload + on-device encryption (the fast path for the pinned
+    tier, where c0 never returns to this host)."""
+    root = _cache_dir()
+    if root is None:
+        return None
+    material = [
+        "enc-v1", int(ctx.n), float(ctx.fresh_scale), int(cfg.vector_dim),
+        int(db.shape[0]), bool(cache_extra[0]), int(cache_extra[1]),
+        _db_fingerprint(db), layout,
+    ]
+    key = hashlib.sha1(json.dumps(material).encode()).hexdigest()[:20]
+    return os.path.join(root, f"enc_{layout}_{db.shape[0]}_{key}")
+
+
+def _atomic_save(dirpath: str, fname: str, arr: np.ndarray) -> bool:
+    """tmp + fsync + rename so a present file is always complete."""
+    try:
+        os.makedirs(dirpath, exist_ok=True)
+        final = os.path.join(dirpath, fname)
+        tmp = f"{final}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, arr)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+        dfd = os.open(dirpath, os.O_RDONLY)
+        os.fsync(dfd)
+        os.close(dfd)
+        return True
+    except OSError:
+        return False
+
+
+def _enc_complete(enc_path: Optional[str], num_groups: int) -> bool:
+    if enc_path is None or not os.path.isdir(enc_path):
+        return False
+    return all(os.path.exists(os.path.join(enc_path, f"g{g:04d}.npy"))
+               for g in range(num_groups))
+
+
 def _promote_resident(store: DiagStore, resident_budget: int) -> None:
     """Move leading groups to HBM until the budget is spent (fast h2d)."""
     gbytes = store.group_bytes()
     dev = jax.devices()[0]
     budget_left = resident_budget
+    dev_sh = _device_sharding(dev)
     for g, grp in enumerate(store.groups):
         if budget_left < gbytes:
             break
-        if not isinstance(grp, jnp.ndarray):
-            store.groups[g] = jax.device_put(np.ascontiguousarray(grp), dev)
+        if not _on_device(grp, dev):
+            if not isinstance(grp, jax.Array):
+                grp = np.ascontiguousarray(grp)
+            store.groups[g] = jax.device_put(grp, dev_sh)
         budget_left -= gbytes
 
 
@@ -283,17 +378,41 @@ def _enroll_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
     cache_path = (_store_cache_path(ctx, cfg, db, seed, *cache_extra,
                                     layout=store.layout)
                   if cache_on else None)
+    pin = None
+    all_resident = resident_budget >= gbytes * num_groups
+    if engine == "auto":
+        from ..utils import native
+        if not all_resident and jax.default_backend() != "cpu" \
+                and not os.environ.get("IMTPU_NO_PINNED"):
+            pin = _pinned_sharding()
+        if pin is not None:
+            engine = "pinned"
+        elif native.available() and not all_resident:
+            engine = "native"
+        else:
+            engine = "device"
+    elif engine == "pinned":
+        pin = _pinned_sharding()
+        assert pin is not None, "pinned_host memory tier not available"
+    enc_path = None
+    if engine == "pinned":
+        # device-side enrollment straight into the TPU host's pinned RAM:
+        # only compact (hi, lo) encode coefficients cross the client
+        # tunnel, so re-enrolling is faster than loading a c0 disk cache
+        # through it — skip that cache and use the encode cache instead.
+        if cache_on:
+            enc_path = _enc_cache_path(ctx, cfg, db, cache_extra,
+                                       store.layout)
+        cache_path = None
     if cache_path is not None:
         cached = _load_cached_store(cache_path, store, resident_budget,
                                     verbose)
         if cached is not None:
             return cached
         store.groups = []  # partially-filled by a failed load
-    if engine == "auto":
-        from ..utils import native
-        all_resident = resident_budget >= gbytes * num_groups
-        engine = "native" if native.available() and not all_resident else "device"
-    db = normalize(db)
+    enc_hit_all = _enc_complete(enc_path, num_groups)
+    if not enc_hit_all:
+        db = normalize(db)  # full encode cache never touches the rows
     budget_left = resident_budget
     dev = jax.devices()[0]
     # resumable enrollment: trust complete per-group files from an
@@ -332,6 +451,40 @@ def _enroll_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
                 continue
         lo_r = g * group_rows
         hi_r = min(nvec, (g + 1) * group_rows)
+        if engine == "pinned":
+            hl = None
+            if enc_path is not None:
+                try:
+                    a = np.load(os.path.join(enc_path, f"g{g:04d}.npy"),
+                                mmap_mode="r")
+                    if a.dtype == np.uint32 and a.shape == (2, dim, ctx.n):
+                        hl = (np.ascontiguousarray(a[0]),
+                              np.ascontiguousarray(a[1]))
+                except (OSError, ValueError):
+                    hl = None
+            if hl is None:
+                assert not enc_hit_all, "encode cache file vanished mid-run"
+                vals = vals_fn(db[lo_r:hi_r])
+                hl = ctx.encode_split(vals)
+                if enc_path is not None and not _atomic_save(
+                        enc_path, f"g{g:04d}.npy", np.stack(hl)):
+                    enc_path = None  # out of disk: keep going uncached
+            c0 = ctx.encrypt_seeded_from_split(hl[0], hl[1], seed, g)
+            if budget_left >= gbytes:
+                budget_left -= gbytes
+            else:
+                c0 = jax.device_put(c0, pin)  # HBM -> host pinned (DMA)
+            # cap in-flight device work at ~2 groups so the async encrypt
+            # + offload queue never spikes HBM
+            if store.groups:
+                jax.block_until_ready(store.groups[-1])
+            store.groups.append(c0)
+            if verbose and (g % 8 == 0 or g == num_groups - 1):
+                import sys
+                print(f"# enroll group {g + 1}/{num_groups} engine=pinned "
+                      f"(resident {store.resident_count()})",
+                      file=sys.stderr)
+            continue
         vals = vals_fn(db[lo_r:hi_r])  # [dim, batch]
         if engine == "native":
             c0 = ctx.encrypt_seeded_batch_host(vals, seed, g)
@@ -412,11 +565,15 @@ class _StreamedSender(Sender):
         dev = jax.devices()[0]
         G = self.store.num_groups
 
+        dev_sh = _device_sharding(dev)
+
         def fetch(g):
             grp = self.store.groups[g]
-            if isinstance(grp, jnp.ndarray):
+            if _on_device(grp, dev):
                 return grp
-            return jax.device_put(grp, dev)  # async h2d
+            # async h2d: pinned-host groups ride the TPU host's DMA lanes
+            # (~10+ GB/s); plain numpy groups cross the client link
+            return jax.device_put(grp, dev_sh)
 
         nxt = fetch(0)
         outs = []
