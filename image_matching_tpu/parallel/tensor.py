@@ -44,12 +44,22 @@ class TensorParallel:
     over `mesh` (1-D, axis name `axis`)."""
 
     def __init__(self, ctx: CkksContext, mesh: Mesh, axis: str = "tp",
-                 shard: str = "slot"):
+                 shard: str = "slot", strict: bool = False):
+        """strict=True raises instead of replicating when a sharded axis
+        does not divide the mesh.  `shard="slot"` always divides (N is a
+        power of two >= any sane mesh); `shard="limb"` replicates whenever
+        the live limb count is not a multiple of the mesh size — at
+        production shapes (e.g. 14 limbs on 8 devices) that is most
+        levels, so limb mode is a scale-up experiment, not a production
+        path.  Single-chip scenarios stay on the plain senders; TP is the
+        multi-chip growth path for when one ciphertext op outgrows a chip."""
         assert shard in ("slot", "limb")
         self.ctx = ctx
         self.mesh = mesh
         self.axis = axis
         self.shard = shard
+        self.strict = strict
+        self._warned = set()
         self._jits = {}
 
     def _spec(self, shape) -> NamedSharding:
@@ -60,8 +70,23 @@ class TensorParallel:
         ops stay sharded via propagation."""
         dim = len(shape) - (1 if self.shard == "slot" else 2)
         spec = [None] * len(shape)
-        if shape[dim] % self.mesh.shape[self.axis] == 0:
+        n_dev = self.mesh.shape[self.axis]
+        if shape[dim] % n_dev == 0:
             spec[dim] = self.axis
+        else:
+            if self.strict:
+                raise ValueError(
+                    f"TP {self.shard} axis of size {shape[dim]} does not "
+                    f"divide the {n_dev}-device mesh; pad the limb chain "
+                    f"or use shard='slot'")
+            key = (shape[dim], n_dev)
+            if key not in self._warned:
+                self._warned.add(key)
+                import warnings
+                warnings.warn(
+                    f"TP {self.shard} axis of size {shape[dim]} does not "
+                    f"divide the {n_dev}-device mesh: this boundary "
+                    f"replicates (strict=True to raise instead)")
         return NamedSharding(self.mesh, P(*spec))
 
     def constrain(self, x: jnp.ndarray) -> jnp.ndarray:

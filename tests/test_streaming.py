@@ -4,6 +4,8 @@ Threefry cross-language consistency, and streamed-vs-in-memory sender
 parity (reference behavior: per-op DB streaming,
 src/sender/sender_diag.cpp:85-94)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -198,3 +200,32 @@ def test_streamed_native_engine_end_to_end():
     qcts = st.encrypt_query(query)
     assert st.decrypt_membership(st.sender.run_membership(qcts)) is True
     assert 0 in st.decrypt_index(st.sender.run_index(qcts))
+
+
+def test_encode_split_matches_batch_encrypt():
+    """encrypt_seeded_from_split(encode_split(v)) must equal
+    encrypt_seeded_batch(v) given the same noise stream — the contract the
+    encode-coefficient disk cache (streaming._enc_cache_path) relies on."""
+    ctx = _ctx()
+    rng = np.random.default_rng(5)
+    vals = rng.uniform(-1, 1, (4, ctx.slots))
+    st = ctx._rng.bit_generator.state
+    c0a = np.asarray(ctx.encrypt_seeded_batch(vals, seed=99, group=3))
+    ctx._rng.bit_generator.state = st  # replay the noise draw
+    hi, lo = ctx.encode_split(vals)
+    c0b = np.asarray(ctx.encrypt_seeded_from_split(hi, lo, seed=99, group=3))
+    assert np.array_equal(c0a, c0b)
+
+
+def test_enc_cache_atomics(tmp_path):
+    """_atomic_save publishes complete files; _enc_complete detects a full
+    group set and nothing less."""
+    d = str(tmp_path / "enc")
+    arr = np.arange(12, dtype=np.uint32).reshape(2, 2, 3)
+    assert streaming._atomic_save(d, "g0000.npy", arr)
+    got = np.load(f"{d}/g0000.npy")
+    assert np.array_equal(got, arr)
+    assert not streaming._enc_complete(d, 2)
+    assert streaming._atomic_save(d, "g0001.npy", arr)
+    assert streaming._enc_complete(d, 2)
+    assert not any(f.endswith(".tmp") for f in os.listdir(d))

@@ -109,7 +109,7 @@ def main():
 
     for spec in args.configs.split(","):
         a, n = (int(x) for x in spec.strip().split(":"))
-        streamed = a == 5 and n >= 16
+        streamed = a in (4, 5) and n >= 16
         print(f"=== approach {a} @ 2^{n} (streamed={streamed}) ===",
               flush=True)
         try:
