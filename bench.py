@@ -138,6 +138,10 @@ def _device_warmup_or_reexec(timeout_s: float = 180.0):
     t.join(timeout_s)
     if ok:
         return
+    _reexec("TPU session wedged at claim")
+
+
+def _reexec(why: str):
     attempt = int(os.environ.get("IMTPU_BENCH_ATTEMPT", "0"))
     if attempt >= 5:
         _BEST.setdefault("metric", "error_tpu_session_wedged")
@@ -145,10 +149,38 @@ def _device_warmup_or_reexec(timeout_s: float = 180.0):
         _BEST.setdefault("unit", "")
         _BEST.setdefault("vs_baseline", 0)
         _emit_and_exit(3)
-    print(f"# TPU session wedged; re-exec attempt {attempt + 1}", file=sys.stderr)
+    print(f"# {why}; re-exec attempt {attempt + 1}", file=sys.stderr,
+          flush=True)
     os.environ["IMTPU_BENCH_ATTEMPT"] = str(attempt + 1)
-    time.sleep(90)
+    # let the terminal fully drain the dying client's buffers — claiming
+    # too early yields a session that wedges again under heavy DMA
+    time.sleep(150)
     os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+def _start_stall_watchdog(stall_s: float = 300.0) -> dict:
+    """Re-exec if streamed enrollment stops making per-group progress (a
+    mid-transfer tunnel wedge never completes; only a fresh client
+    recovers).  Heartbeats come from streaming.LAST_PROGRESS.  Armed only
+    while ctl["on"] is True — later phases (compiles) legitimately go
+    minutes without a heartbeat, and once a result is recorded a re-exec
+    (which forgets it) is worse than riding out the deadline."""
+    import threading
+
+    from image_matching_tpu.matching import streaming
+
+    streaming.LAST_PROGRESS[0] = time.time()
+    ctl = {"on": True}
+
+    def watch():
+        while True:
+            time.sleep(15)
+            if ctl["on"] and \
+                    time.time() - streaming.LAST_PROGRESS[0] > stall_s:
+                _reexec(f"no streaming progress for {stall_s:.0f}s")
+
+    threading.Thread(target=watch, daemon=True).start()
+    return ctl
 
 
 def main():
@@ -200,9 +232,11 @@ def _run_scenario():
     query, db = dio.gen_dataset(n, cfg.vector_dim, seed=0)
 
     t0 = time.time()
+    wd = _start_stall_watchdog() if streamed else {"on": False}
     proto = MatchingProtocol.setup(5, db, cfg, params=params, seed=0,
                                    streamed=streamed,
                                    **({"verbose": True} if streamed else {}))
+    wd["on"] = False
     print(f"# setup+enroll: {time.time()-t0:.1f}s (streamed={streamed}, "
           f"deadline remaining {_remaining():.0f}s)", file=sys.stderr,
           flush=True)

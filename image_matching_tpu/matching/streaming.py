@@ -22,6 +22,7 @@ import hashlib
 import json
 import math
 import os
+import time
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -34,6 +35,17 @@ from .config import MatchConfig
 from .enrollers import diag_bsgs_n1, diag_group_vals
 from .senders import Sender, ct_dot, _mod_sum_rows
 from .vector_utils import normalize
+
+
+# Heartbeat for external stall watchdogs (bench.py): the tunneled TPU
+# session occasionally wedges mid-transfer, in which case enrollment makes
+# no progress and only a client re-exec recovers.  Updated once per
+# enrolled/streamed group.
+LAST_PROGRESS = [time.time()]
+
+
+def _beat():
+    LAST_PROGRESS[0] = time.time()
 
 
 class _SeededStore:
@@ -479,6 +491,7 @@ def _enroll_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
             if store.groups:
                 jax.block_until_ready(store.groups[-1])
             store.groups.append(c0)
+            _beat()
             if verbose and (g % 8 == 0 or g == num_groups - 1):
                 import sys
                 print(f"# enroll group {g + 1}/{num_groups} engine=pinned "
@@ -524,6 +537,7 @@ def _enroll_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
             else:
                 c0 = np.asarray(c0)  # d2h spill (CPU backend only)
         store.groups.append(c0)
+        _beat()
         if verbose and (g % 8 == 0 or g == num_groups - 1):
             import sys
             print(f"# enroll group {g + 1}/{num_groups} engine={engine} "
@@ -582,6 +596,7 @@ class _StreamedSender(Sender):
             out = fn(state, Q, cur, jnp.uint32(g))
             outs.append(out)
             del cur
+            _beat()
         scores = jnp.stack(outs) if G > 1 else outs[0][None]
         return scores, meta["scale"]
 
