@@ -423,10 +423,16 @@ def _enroll_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
             return cached
         store.groups = []  # partially-filled by a failed load
     enc_hit_all = _enc_complete(enc_path, num_groups)
+    db_normalized = False
     if not enc_hit_all:
         db = normalize(db)  # full encode cache never touches the rows
+        db_normalized = True
     budget_left = resident_budget
     dev = jax.devices()[0]
+    if engine == "pinned":
+        return _enroll_pinned(ctx, cfg, db, db_normalized, store, vals_fn,
+                              enc_path, seed, num_groups, budget_left,
+                              pin, verbose)
     # resumable enrollment: trust complete per-group files from an
     # interrupted earlier run (written via tmp+rename+fsync, so any
     # g####.npy present is complete) — except the newest one, which an
@@ -463,41 +469,6 @@ def _enroll_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
                 continue
         lo_r = g * group_rows
         hi_r = min(nvec, (g + 1) * group_rows)
-        if engine == "pinned":
-            hl = None
-            if enc_path is not None:
-                try:
-                    a = np.load(os.path.join(enc_path, f"g{g:04d}.npy"),
-                                mmap_mode="r")
-                    if a.dtype == np.uint32 and a.shape == (2, dim, ctx.n):
-                        hl = (np.ascontiguousarray(a[0]),
-                              np.ascontiguousarray(a[1]))
-                except (OSError, ValueError):
-                    hl = None
-            if hl is None:
-                assert not enc_hit_all, "encode cache file vanished mid-run"
-                vals = vals_fn(db[lo_r:hi_r])
-                hl = ctx.encode_split(vals)
-                if enc_path is not None and not _atomic_save(
-                        enc_path, f"g{g:04d}.npy", np.stack(hl)):
-                    enc_path = None  # out of disk: keep going uncached
-            c0 = ctx.encrypt_seeded_from_split(hl[0], hl[1], seed, g)
-            if budget_left >= gbytes:
-                budget_left -= gbytes
-            else:
-                c0 = jax.device_put(c0, pin)  # HBM -> host pinned (DMA)
-            # cap in-flight device work at ~2 groups so the async encrypt
-            # + offload queue never spikes HBM
-            if store.groups:
-                jax.block_until_ready(store.groups[-1])
-            store.groups.append(c0)
-            _beat()
-            if verbose and (g % 8 == 0 or g == num_groups - 1):
-                import sys
-                print(f"# enroll group {g + 1}/{num_groups} engine=pinned "
-                      f"(resident {store.resident_count()})",
-                      file=sys.stderr)
-            continue
         vals = vals_fn(db[lo_r:hi_r])  # [dim, batch]
         if engine == "native":
             c0 = ctx.encrypt_seeded_batch_host(vals, seed, g)
@@ -530,6 +501,10 @@ def _enroll_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
                 c0 = jax.device_put(np.ascontiguousarray(c0), dev)
                 budget_left -= gbytes
         else:
+            # heartbeat before the dispatch: group 0 carries the cold XLA
+            # compile of the seeded-encrypt kernel (observed >300s under
+            # host contention), which otherwise trips the stall watchdog
+            _beat()
             c0 = ctx.encrypt_seeded_batch(vals, seed, g)
             if budget_left >= gbytes:
                 c0.block_until_ready()
@@ -547,6 +522,90 @@ def _enroll_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
         with open(os.path.join(cache_path, "meta.json"), "w") as f:
             json.dump({"num_groups": num_groups, "nvec": nvec, "dim": dim,
                        "layout": store.layout, "seed": seed}, f)
+    return store
+
+
+def _enroll_pinned(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
+                   db_normalized: bool, store: _SeededStore, vals_fn,
+                   enc_path: Optional[str], seed: int, num_groups: int,
+                   budget_left: int, pin, verbose: bool) -> _SeededStore:
+    """Pinned-tier enrollment with a pipelined host side.
+
+    The cold path at 2^20 used to serialize {numpy FFT encode of group g}
+    -> {upload + device encrypt of group g} -> {encode g+1} ... (952 s in
+    round 3).  Here the host half (encode-cache load, else vals_fn +
+    encode_split + cache save) runs on a 2-worker executor with a
+    two-group lookahead, overlapping the device encrypt + pinned-offload
+    of group g — the host FFT is the bottleneck and pocketfft releases
+    the GIL, so two workers scale on the 2-core host."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    dim = cfg.vector_dim
+    nvec = db.shape[0]
+    group_rows = ctx.slots
+    gbytes = dim * ctx.Lq * ctx.n * 4
+    state = {"db": db, "normalized": db_normalized, "enc_path": enc_path}
+    norm_lock = threading.Lock()
+
+    def prepare(g):
+        """Host-side half for group g -> (hi, lo) encode coefficients."""
+        ep = state["enc_path"]
+        if ep is not None:
+            try:
+                a = np.load(os.path.join(ep, f"g{g:04d}.npy"),
+                            mmap_mode="r")
+                if a.dtype == np.uint32 and a.shape == (2, dim, ctx.n):
+                    return (np.ascontiguousarray(a[0]),
+                            np.ascontiguousarray(a[1]))
+            except (OSError, ValueError):
+                pass
+        # cache miss (including a file evicted/corrupted mid-run after
+        # _enc_complete said the cache was whole): encode this group,
+        # normalizing the rows lazily on the first miss — db is untouched
+        # while every group hits.
+        with norm_lock:
+            if not state["normalized"]:
+                state["db"] = normalize(state["db"])
+                state["normalized"] = True
+        lo_r = g * group_rows
+        hi_r = min(nvec, (g + 1) * group_rows)
+        vals = vals_fn(state["db"][lo_r:hi_r])
+        hl = ctx.encode_split(vals)
+        if ep is not None and not _atomic_save(
+                ep, f"g{g:04d}.npy", np.stack(hl)):
+            state["enc_path"] = None  # out of disk: keep going uncached
+        return hl
+
+    lookahead = 2
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = {g: ex.submit(prepare, g)
+                for g in range(min(lookahead + 1, num_groups))}
+        for g in range(num_groups):
+            hl = futs.pop(g).result()
+            nxt = g + lookahead + 1
+            if nxt < num_groups:
+                futs[nxt] = ex.submit(prepare, nxt)
+            # heartbeat before the dispatch: group 0's encrypt carries the
+            # cold XLA compile of the seeded-encrypt kernel, which can
+            # exceed the stall window measured from watchdog arm time
+            _beat()
+            c0 = ctx.encrypt_seeded_from_split(hl[0], hl[1], seed, g)
+            if budget_left >= gbytes:
+                budget_left -= gbytes
+            else:
+                c0 = jax.device_put(c0, pin)  # HBM -> host pinned (DMA)
+            # cap in-flight device work at ~2 groups so the async encrypt
+            # + offload queue never spikes HBM
+            if store.groups:
+                jax.block_until_ready(store.groups[-1])
+            store.groups.append(c0)
+            _beat()
+            if verbose and (g % 8 == 0 or g == num_groups - 1):
+                import sys
+                print(f"# enroll group {g + 1}/{num_groups} engine=pinned "
+                      f"(resident {store.resident_count()})",
+                      file=sys.stderr)
     return store
 
 
