@@ -94,7 +94,19 @@ def generate(csv_path: str, outdir: str = "figures"):
 
     # bandwidth: end-to-end = compute + (query + result cts) * bytes / bw
     # (reference generate_figures.sh:7-13 emits both the membership and the
-    # identification variant)
+    # identification variant).  The reference fixes ONE DB size for these
+    # figures (2^15, tools/figures/15IndexTotals.csv); mixing per-approach
+    # sizes in one plot would not be comparable, so use the largest size
+    # measured for EVERY approach (fall back to each approach's largest,
+    # flagged in the title, only when no common size exists).
+    names = sorted({r["Experimental Approach"] for r in rows})
+    sizes_by_name = {
+        name: {int(r["Database Size (vectors)"]) for r in rows
+               if r["Experimental Approach"] == name}
+        for name in names
+    }
+    common = set.intersection(*sizes_by_name.values()) if names else set()
+    fixed_size = max(common) if common else None
     for phase, comp_col, size_col in (
         ("membership", "Membership Computation (seconds)",
          "Membership Result Size (ciphertexts)"),
@@ -102,11 +114,13 @@ def generate(csv_path: str, outdir: str = "figures"):
          "Index Result Size (ciphertexts)"),
     ):
         plt.figure(figsize=(6, 4))
-        for name in sorted({r["Experimental Approach"] for r in rows}):
+        for name in names:
+            pool = [r for r in rows if r["Experimental Approach"] == name]
+            if fixed_size is not None:
+                pool = [r for r in pool
+                        if int(r["Database Size (vectors)"]) == fixed_size]
             biggest = max(
-                (r for r in rows if r["Experimental Approach"] == name),
-                key=lambda r: int(r["Database Size (vectors)"]),
-            )
+                pool, key=lambda r: int(r["Database Size (vectors)"]))
             comp = float(biggest[comp_col]) + float(
                 biggest["Query Encryption (seconds)"]
             )
@@ -121,6 +135,10 @@ def generate(csv_path: str, outdir: str = "figures"):
             plt.loglog(xs, ys, marker="s", label=name)
         plt.xlabel("network bandwidth (B/s)")
         plt.ylabel(f"end-to-end {phase} (s)")
+        title = (f"{phase} vs bandwidth @ {fixed_size} vectors"
+                 if fixed_size is not None else
+                 f"{phase} vs bandwidth (per-approach largest size!)")
+        plt.title(title)
         plt.grid(True, which="both", alpha=0.3)
         plt.legend()
         plt.tight_layout()

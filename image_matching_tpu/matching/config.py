@@ -25,3 +25,8 @@ class MatchConfig:
                                   # receiver_hers.cpp:66-77,
                                   # sender_hers.cpp:101-115); costs one
                                   # extra level of depth
+    faithful_grote: bool = False  # membership computes-and-discards the
+                                  # alpha-norm colCipher exactly like the
+                                  # reference (src/sender/sender_grote.cpp:23)
+                                  # so benchmark comparisons against its
+                                  # published numbers include the same work

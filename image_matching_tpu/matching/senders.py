@@ -512,11 +512,57 @@ class GroteSender(BaseSender):
         batch = ctx.slots
         row_len = 2 ** math.ceil(math.log2(batch) / 2)
         scores = self.compute_similarity(query)
-        # reference computes colCipher here and never uses it
-        # (src/sender/sender_grote.cpp:23) — we skip the dead work but keep
-        # identical outputs.
+        if self.cfg.faithful_grote:
+            # reference computes colCipher here and never uses it
+            # (src/sender/sender_grote.cpp:23).  In eager mode this is real
+            # discarded work; under jit XLA would DCE it, so the segmented
+            # run_membership below returns it as an output instead.
+            self.alpha_norm_columns(scores, row_len)
         flags = self._compare_many(scores)
         return self._membership_reduce(flags)
+
+    def run_membership(self, query_cts: List[Ciphertext]) -> Ciphertext:
+        """Cost-faithful membership for benchmarking: when
+        cfg.faithful_grote is set, the similarity segment also computes the
+        dead colCipher (reference src/sender/sender_grote.cpp:23) and
+        returns it as a materialized output (so XLA cannot eliminate it);
+        the host blocks on it and discards it — the timed run pays exactly
+        the work the reference's published GROTE membership numbers pay."""
+        if not (self.cfg.faithful_grote and self._use_segments()):
+            return Sender.run_membership(self, query_cts)
+        ctx = self.ctx
+        qstack = jnp.stack([c.data for c in query_cts])
+        batch = ctx.slots
+        row_len = 2 ** math.ceil(math.log2(batch) / 2)
+
+        def builder(meta):
+            def fn(state, qs, db):
+                old = self.db.data
+                self.db.data = db
+                try:
+                    with ctx.bound_state(state):
+                        qcts = [
+                            Ciphertext(qs[i], ctx.fresh_scale)
+                            for i in range(qs.shape[0])
+                        ]
+                        scores = self.compute_similarity(qcts)
+                        cols = self.alpha_norm_columns(scores, row_len)
+                        meta["scale"] = scores[0].scale
+                        return (
+                            jnp.stack([s.data for s in scores]),
+                            jnp.stack([c.data for c in cols]),
+                        )
+                finally:
+                    self.db.data = old
+            return fn
+
+        fn, meta = self._seg(("grote_faithful_sim", qstack.shape), builder)
+        sdata, dead_cols = fn(ctx.device_state(), qstack, self.db.data)
+        fstack, fscale = self._compare_segments(
+            sdata, meta["scale"], self.cfg.match_threshold)
+        data, rmeta = self._reduce_segment(fstack, fscale)
+        jax.block_until_ready(dead_cols)  # materialized, then discarded
+        return Ciphertext(data, rmeta["scale"])
 
     def index_scenario(self, query: List[Ciphertext]) -> List[Ciphertext]:
         ctx = self.ctx

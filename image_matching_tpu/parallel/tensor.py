@@ -178,6 +178,82 @@ class TensorParallel:
         return Ciphertext(out, meta["scale"])
 
 
+class TPScenario:
+    """Scenario-level slot tensor parallelism: run a sender's FULL
+    membership/index scenario as one jit with every polynomial's slot/
+    coefficient axis (the trailing N axis of ciphertexts, plaintexts, DB
+    stacks and the context state's NTT/key tables) sharded over the mesh.
+    XLA's SPMD partitioner propagates the sharding through the whole
+    program — elementwise modmath partitions locally, the NTT's jnp.roll
+    stages and the rotation automorphism gathers become collective
+    permutes over the mesh axis.
+
+    This is the intra-ciphertext growth path: a single query's latency is
+    split across chips, orthogonal to ShardedScenario's DB-axis data
+    parallelism.  Outputs are bit-exact vs the single-device sender
+    (tests/test_tensor.py)."""
+
+    def __init__(self, sender, mesh: Mesh, axis: str = "tp"):
+        self.sender = sender
+        self.mesh = mesh
+        self.axis = axis
+        self._fns = {}
+
+    def _shard_last(self, x):
+        spec = [None] * x.ndim
+        spec[-1] = self.axis
+        if x.shape[-1] % self.mesh.shape[self.axis] != 0:
+            spec[-1] = None  # tiny trailing axes (scalars etc.): replicate
+        return NamedSharding(self.mesh, P(*spec))
+
+    def _place(self, tree):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, self._shard_last(x))
+            if hasattr(x, "ndim") else x, tree)
+
+    def _build(self, kind: str):
+        sender = self.sender
+        ctx = sender.ctx
+        meta = {}
+
+        def fn(state, qs, db):
+            old = sender.db.data
+            sender.db.data = db
+            try:
+                with ctx.bound_state(state):
+                    qcts = [Ciphertext(qs[i], ctx.fresh_scale)
+                            for i in range(qs.shape[0])]
+                    if kind == "membership":
+                        out = sender.membership_scenario(qcts)
+                        meta["scale"] = out.scale
+                        return out.data
+                    outs = sender.index_scenario(qcts)
+                    meta["scales"] = [o.scale for o in outs]
+                    return tuple(o.data for o in outs)
+            finally:
+                sender.db.data = old
+
+        return jax.jit(fn), meta
+
+    def _run(self, kind: str, query_cts):
+        if kind not in self._fns:
+            self._fns[kind] = self._build(kind)
+        fn, meta = self._fns[kind]
+        ctx = self.sender.ctx
+        qstack = jnp.stack([c.data for c in query_cts])
+        state = self._place(ctx.device_state())
+        out = fn(state, self._place(qstack), self._place(self.sender.db.data))
+        return out, meta
+
+    def membership(self, query_cts) -> Ciphertext:
+        data, meta = self._run("membership", query_cts)
+        return Ciphertext(data, meta["scale"])
+
+    def index(self, query_cts):
+        datas, meta = self._run("index", query_cts)
+        return [Ciphertext(d, s) for d, s in zip(datas, meta["scales"])]
+
+
 def make_tp_mesh(n_devices: Optional[int] = None, axis: str = "tp") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:

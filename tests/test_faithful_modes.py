@@ -80,3 +80,31 @@ def test_diag_non_bsgs_matches_bsgs():
     idx_b = proto_b.decrypt_index(proto_b.index(proto_b.encrypt_query(query)))
     assert sorted(idx_nb) == sorted(idx_b)
     assert 0 in idx_nb
+
+
+def test_faithful_grote_membership_matches_default():
+    """faithful_grote computes-and-discards the alpha-norm colCipher in
+    membership exactly like the reference (src/sender/sender_grote.cpp:23);
+    the membership OUTPUT must be identical to the optimized default, and
+    the segmented runner must materialize the dead work (it is returned as
+    an output so XLA cannot DCE it)."""
+    proto_f, query, db = _setup(2, faithful_grote=True)
+    proto_d, _, _ = _setup(2)
+    qf = proto_f.encrypt_query(query)
+    qd = proto_d.encrypt_query(query)
+
+    mem_f = proto_f.sender.run_membership(qf)
+    mem_d = proto_d.sender.run_membership(qd)
+    assert mem_f.scale == mem_d.scale
+    np.testing.assert_array_equal(np.asarray(mem_f.data),
+                                  np.asarray(mem_d.data))
+    assert proto_f.decrypt_membership(mem_f) is True
+
+    # segmented path: the faithful similarity segment exists and returns
+    # the (scores, dead colCipher) pair
+    import os
+    if os.environ.get("IMTPU_FORCE_SEGMENTS"):
+        keys = [k for k in getattr(proto_f.sender, "_segjits", {})
+                if k and k[0] == "grote_faithful_sim"]
+        assert keys, "faithful GROTE membership did not use the cost-" \
+                     "faithful segment"

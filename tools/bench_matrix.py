@@ -45,7 +45,11 @@ def run_one(approach: int, log2n: int, ring: int, streamed: bool) -> dict:
     from image_matching_tpu.matching.protocol import MatchingProtocol
     from image_matching_tpu.utils import io as dio
 
-    cfg = MatchConfig()
+    # A2 runs cost-faithful: membership computes-and-discards the alpha-norm
+    # colCipher exactly like the reference's timed loop does
+    # (src/sender/sender_grote.cpp:23), so the vs-reference comparison
+    # includes the same work.
+    cfg = MatchConfig(faithful_grote=(approach == 2))
     depth = compute_required_depth(approach, cfg.comp_depth, cfg.alpha_depth)
     params = SchemeParams.create(
         ring_dim=ring, mult_depth=depth,
@@ -56,11 +60,14 @@ def run_one(approach: int, log2n: int, ring: int, streamed: bool) -> dict:
                                    streamed=streamed)
     enroll_s = time.time() - t0
     del db
+    t0 = time.time()
     qcts = proto.encrypt_query(query)
     jax.block_until_ready([c.data for c in qcts])
+    query_enc_s = time.time() - t0
 
     row = {"approach": approach, "log2n": log2n, "ring": ring,
-           "streamed": streamed, "enroll_s": round(enroll_s, 2)}
+           "streamed": streamed, "enroll_s": round(enroll_s, 2),
+           "query_enc_s": round(query_enc_s, 4), "query_cts": len(qcts)}
 
     def timed(kind):
         def go():
@@ -81,12 +88,17 @@ def run_one(approach: int, log2n: int, ring: int, streamed: bool) -> dict:
     mem, mem_s, mem_c = timed("membership")
     row["membership_s"] = round(mem_s, 4)
     row["membership_compile_s"] = round(mem_c, 2)
+    t0 = time.time()
     row["membership_ok"] = bool(proto.decrypt_membership(mem))
+    row["membership_dec_s"] = round(time.time() - t0, 4)
 
     idx, idx_s, idx_c = timed("index")
     row["index_s"] = round(idx_s, 4)
     row["index_compile_s"] = round(idx_c, 2)
+    row["index_cts"] = len(idx)
+    t0 = time.time()
     decoded = proto.decrypt_index(idx)
+    row["index_dec_s"] = round(time.time() - t0, 4)
     row["index_ok"] = 0 in decoded
     row["index_extra"] = len(decoded) - 1
 
