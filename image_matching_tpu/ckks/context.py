@@ -1076,6 +1076,50 @@ class CkksContext:
 
         return jax.vmap(one)(data, perms, keys)
 
+    def rotate_rows_binary(self, data: jnp.ndarray,
+                           rots: Sequence[int]) -> jnp.ndarray:
+        """Rotate every row of a [R, 2, l, N] ciphertext stack by its OWN
+        arbitrary amount using only the +2^k rotation keys: one scanned
+        bit-stage loop whose body is a single vmapped keyswitch, with a
+        per-(stage, row) select mask.
+
+        This is the graph-compact replacement for looping binary_rotate
+        over R ciphertexts (reference mergeCiphers/compressCiphers,
+        src/openFHE_wrapper.cpp:191-312, rotate each output ciphertext
+        independently): the unrolled form emits O(R * log slots)
+        keyswitch bodies and overwhelmed the remote TPU compiler at
+        R=128 (44 MB MLIR, compile-helper OOM); this form emits
+        O(active bit-stages) bodies regardless of R."""
+        R = data.shape[0]
+        amounts = [r % self.slots for r in rots]
+        assert len(amounts) == R
+        nbits = int(math.log2(self.slots))
+        used = [k for k in range(nbits) if any((a >> k) & 1 for a in amounts)]
+        if not used:
+            return data
+        perms, keys = self._rot_rows([1 << k for k in used])
+        masks = jnp.asarray(
+            np.asarray([[(a >> k) & 1 for a in amounts] for k in used],
+                       np.uint32))  # [S, R]
+        l = data.shape[-2]
+        q, _ = self._qrow(self.q_limbs(l))
+
+        def stage(carry, pkm):
+            perm, key, m = pkm
+
+            def one(d):
+                c0 = jnp.take(d[0], perm, axis=-1)
+                c1 = jnp.take(d[1], perm, axis=-1)
+                d0, d1 = self.keyswitch(c1, key)
+                return jnp.stack([mm.mod_add(c0, d0, q), d1])
+
+            rot = jax.vmap(one)(carry)
+            sel = m[:, None, None, None]
+            return jnp.where(sel == 1, rot, carry), None
+
+        out, _ = jax.lax.scan(stage, data, (perms, keys, masks))
+        return out
+
     def eval_sum(self, x: Ciphertext, m: int) -> Ciphertext:
         """Every slot j becomes sum of slots j..j+m-1 (cyclic): log2(m)
         rotate-and-add steps (reference sumAllSlots / EvalSum), run as one

@@ -56,13 +56,15 @@ def load_frgc(db_file: str, query_file: str, dbid_file: str, qid_file: str,
 
 
 def _build_protocol(approach: int, db: np.ndarray, cfg: MatchConfig,
-                    ring_dim: int, scale_bits: int, seed: int):
+                    ring_dim: int, scale_bits: int, seed: int,
+                    streamed: bool = False):
     depth = compute_required_depth(approach, cfg.comp_depth, cfg.alpha_depth)
     params = SchemeParams.create(
         ring_dim=ring_dim, mult_depth=depth, scale_bits=scale_bits,
         security="128c" if ring_dim >= 32768 else "none",
     )
-    return MatchingProtocol.setup(approach, db, cfg, params=params, seed=seed)
+    return MatchingProtocol.setup(approach, db, cfg, params=params, seed=seed,
+                                  streamed=streamed)
 
 
 def _query_counts(proto: MatchingProtocol, query: np.ndarray, qid: int,
@@ -77,8 +79,20 @@ def _query_counts(proto: MatchingProtocol, query: np.ndarray, qid: int,
     max_err = None
     if parity:
         # the reference's (commented-out) encrypted-vs-plaintext score
-        # check at 1e-4 (src/main_accuracy.cpp:354-364)
-        scores = proto.sender.compute_similarity(qcts)
+        # check at 1e-4 (src/main_accuracy.cpp:354-364).  Use the jitted
+        # similarity segment on segmented senders — eagerly dispatching
+        # compute_similarity would round-trip the remote TPU compiler
+        # per primitive.
+        sender = proto.sender
+        if sender._use_segments() and hasattr(sender, "db"):
+            import jax.numpy as jnp
+            from ..ckks.context import Ciphertext
+            qstack = jnp.stack([c.data for c in qcts])
+            sdata, meta = sender._similarity_segment(qstack, sender.db.data)
+            scores = [Ciphertext(sdata[i], meta["scale"])
+                      for i in range(sdata.shape[0])]
+        else:
+            scores = sender.compute_similarity(qcts)
         vals = proto.receiver.decrypt_scores(scores)[: db.shape[0]]
         max_err = float(np.abs(vals - sims).max())
 
@@ -102,6 +116,7 @@ def run(query_idx: int, approach: int, csv_path: str = "accuracy.csv",
         ring_dim: int = 32768, vector_dim: int = 512, n_ids: int = 64,
         per_id: int = 4, seed: int = 0, scale_bits: int = 30,
         n_queries: Optional[int] = None, parity: bool = False,
+        streamed: bool = False,
         db_file: Optional[str] = None, query_file: Optional[str] = None,
         dbid_file: Optional[str] = None, qid_file: Optional[str] = None) -> list:
     """Run one query (query_idx) or a sweep (n_queries set): enroll once,
@@ -116,7 +131,8 @@ def run(query_idx: int, approach: int, csv_path: str = "accuracy.csv",
             n_ids, per_id, max(n_queries or 0, query_idx + 1), vector_dim,
             seed=seed)
 
-    proto = _build_protocol(approach, db, cfg, ring_dim, scale_bits, seed)
+    proto = _build_protocol(approach, db, cfg, ring_dim, scale_bits, seed,
+                            streamed=streamed)
 
     todo = range(n_queries) if n_queries else [query_idx]
     rows = []
@@ -166,6 +182,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--parity", action="store_true",
                     help="also check encrypted-vs-plaintext scores at 1e-4")
+    ap.add_argument("--streamed", action="store_true",
+                    help="seed-compressed streamed DB store (c0-only; "
+                         "fits FRGC-scale DBs next to the compare "
+                         "workspace in HBM)")
     ap.add_argument("--db-file", help="FRGC-format database file")
     ap.add_argument("--query-file", help="FRGC-format query file")
     ap.add_argument("--dbid-file", help="database identity labels")
@@ -174,6 +194,7 @@ def main():
     run(args.query_idx, args.approach, args.csv, args.ring_dim,
         args.vector_dim, args.n_ids, args.per_id, seed=args.seed,
         scale_bits=args.scale_bits, n_queries=args.all, parity=args.parity,
+        streamed=args.streamed,
         db_file=args.db_file, query_file=args.query_file,
         dbid_file=args.dbid_file, qid_file=args.qid_file)
 

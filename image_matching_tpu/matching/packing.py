@@ -69,6 +69,26 @@ def _batched(ctx: CkksContext, fn, cts: List[Ciphertext]) -> List[Ciphertext]:
     return [Ciphertext(res[i], out_scale[0]) for i in range(len(cts))]
 
 
+def _rotate_and_pack(ctx: CkksContext, cts: List[Ciphertext],
+                     amounts: List[int], out_idx: List[int],
+                     out_n: int) -> List[Ciphertext]:
+    """Rotate ct[i] left by amounts[i] (one scanned batched keyswitch,
+    ctx.rotate_rows_binary) and mod-add the rows into out_n output
+    ciphertexts per out_idx — the shared tail of merge/compress/alpha
+    packing.  Replaces per-ciphertext binary_rotate loops whose unrolled
+    graphs overwhelmed the remote TPU compiler at ~128 ciphertexts."""
+    from ..ops import modmath as mm
+
+    stacked = jnp.stack([c.data for c in cts])
+    rotated = ctx.rotate_rows_binary(stacked, amounts)
+    q, _ = ctx._qrow(ctx.q_limbs(stacked.shape[-2]))
+    datas: List = [None] * out_n
+    for i, oc in enumerate(out_idx):
+        datas[oc] = rotated[i] if datas[oc] is None else \
+            mm.mod_add(datas[oc], rotated[i], q)
+    return [Ciphertext(d, cts[0].scale) for d in datas]
+
+
 def merge_ciphers(ctx: CkksContext, cts: List[Ciphertext], dimension: int) -> List[Ciphertext]:
     """Merge many ciphertexts' every-dimension-th slots into few dense
     ciphertexts, order preserving (reference mergeCiphers,
@@ -77,23 +97,11 @@ def merge_ciphers(ctx: CkksContext, cts: List[Ciphertext], dimension: int) -> Li
     per = batch // dimension
     out_n = math.ceil(per * len(cts) / batch)
     merged = _batched(ctx, lambda c: merge_single(ctx, c, dimension), cts)
-    # group by rotation offset so equal rotations batch together
-    outs: List[Ciphertext] = [None] * out_n
-    by_rot = {}
-    for i, ct in enumerate(merged):
-        slot = (per * i) % batch
-        by_rot.setdefault(slot, []).append((i, ct))
-    for slot, items in by_rot.items():
-        if slot == 0:
-            rotated = [ct for _, ct in items]
-        else:
-            rotated = _batched(
-                ctx, lambda c: ctx.binary_rotate(c, -slot), [ct for _, ct in items]
-            )
-        for (i, _), r in zip(items, rotated):
-            oc = (per * i) // batch
-            outs[oc] = r if outs[oc] is None else ctx.add(outs[oc], r)
-    return outs
+    if len(merged) == 1:
+        return merged
+    amounts = [-(per * i) % batch for i in range(len(merged))]
+    out_idx = [(per * i) // batch for i in range(len(merged))]
+    return _rotate_and_pack(ctx, merged, amounts, out_idx, out_n)
 
 
 def compress_ciphers(ctx: CkksContext, cts: List[Ciphertext], dimension: int) -> List[Ciphertext]:
@@ -110,18 +118,9 @@ def compress_ciphers(ctx: CkksContext, cts: List[Ciphertext], dimension: int) ->
         return ctx.rescale(ctx.mul_plain(c, m))
 
     masked = _batched(ctx, mask_one, cts)
-    outs: List[Ciphertext] = [None] * out_n
-    by_rot = {}
-    for i, ct in enumerate(masked):
-        by_rot.setdefault(i % dimension, []).append((i, ct))
-    for r, items in by_rot.items():
-        if r == 0:
-            rotated = [ct for _, ct in items]
-        else:
-            rotated = _batched(
-                ctx, lambda c: ctx.binary_rotate(c, -r), [ct for _, ct in items]
-            )
-        for (i, _), rc in zip(items, rotated):
-            oc = i // dimension
-            outs[oc] = rc if outs[oc] is None else ctx.add(outs[oc], rc)
-    return outs
+    if len(masked) == 1:
+        return masked
+    batch = ctx.slots
+    amounts = [-(i % dimension) % batch for i in range(len(masked))]
+    out_idx = [i // dimension for i in range(len(masked))]
+    return _rotate_and_pack(ctx, masked, amounts, out_idx, out_n)

@@ -488,24 +488,14 @@ class GroteSender(BaseSender):
         stacked = jnp.stack([s.data for s in scores])
         res = jax.vmap(one)(stacked) if len(scores) > 1 else one(stacked[0])[None]
         alist = [Ciphertext(res[i], box[0]) for i in range(len(scores))]
-        # pack alpha values consecutively
+        # pack alpha values consecutively (scanned batched rotate; the
+        # per-ciphertext binary_rotate loop blew up the compile graph)
         out_n = math.ceil(len(scores) * row_len / batch)
-        outs: List[Ciphertext] = [None] * out_n
-        by_rot = {}
-        for i, ct in enumerate(alist):
-            slot = (i * row_len) % batch
-            by_rot.setdefault(slot, []).append((i, ct))
-        for slot, items in by_rot.items():
-            if slot == 0:
-                rotated = [c for _, c in items]
-            else:
-                rotated = packing._batched(
-                    ctx, lambda c: ctx.binary_rotate(c, -slot), [c for _, c in items]
-                )
-            for (i, _), r in zip(items, rotated):
-                oc = (i * row_len) // batch
-                outs[oc] = r if outs[oc] is None else ctx.add(outs[oc], r)
-        return outs
+        if len(alist) == 1:
+            return alist
+        amounts = [-(i * row_len) % batch for i in range(len(alist))]
+        out_idx = [(i * row_len) // batch for i in range(len(alist))]
+        return packing._rotate_and_pack(ctx, alist, amounts, out_idx, out_n)
 
     def membership_scenario(self, query: List[Ciphertext]) -> Ciphertext:
         ctx = self.ctx
