@@ -33,23 +33,40 @@ def merge_mask(ctx: CkksContext, dimension: int, segment: int, limbs: int,
     return ctx.encode_cached(("merge_mask", dimension, segment), mask, limbs, scale)
 
 
-def merge_single(ctx: CkksContext, ct: Ciphertext, dimension: int) -> Ciphertext:
+def merge_single(ctx: CkksContext, ct: Ciphertext, dimension: int,
+                 defer: bool = False):
     """Pack every dimension-th slot to the front (reference
-    mergeSingleCipher, src/openFHE_wrapper.cpp:223-249).  Consumes 2 levels."""
+    mergeSingleCipher, src/openFHE_wrapper.cpp:223-249).  Consumes 2 levels.
+
+    Rescales are DEFERRED past the rotate-add chain: each rotation's
+    keyswitch noise is amplified by the doubling partial sums, so running
+    the chain at the un-rescaled mask-product scale (s*Delta..s*Delta^2)
+    keeps it ~2^-30..2^-60 below slot values (the same high-scale-rotation
+    discipline the diagonal sender uses).  Level consumption is unchanged.
+    With defer=True, returns (ct, pending_rescales) so a caller can keep
+    the high scale through its own downstream rotations."""
     batch = ctx.slots
     output_size = batch // dimension
     padding = 1
     rot_factor = dimension - 1
+    pending = 0
     i = 1
     while i < output_size:
         if i >= padding:
             m = merge_mask(ctx, dimension, i, ct.limbs, ctx.params.scale)
-            ct = ctx.rescale(ctx.mul_plain(ct, m))
+            ct = ctx.mul_plain(ct, m)
+            pending += 1
             padding = i * dimension
         ct = ctx.add(ct, ctx.binary_rotate(ct, rot_factor * i))
         i *= 2
     m = merge_mask(ctx, dimension, output_size, ct.limbs, ctx.params.scale)
-    return ctx.rescale(ctx.mul_plain(ct, m))
+    ct = ctx.mul_plain(ct, m)
+    pending += 1
+    if defer:
+        return ct, pending
+    for _ in range(pending):
+        ct = ctx.rescale(ct)
+    return ct
 
 
 def _batched(ctx: CkksContext, fn, cts: List[Ciphertext]) -> List[Ciphertext]:
@@ -92,16 +109,33 @@ def _rotate_and_pack(ctx: CkksContext, cts: List[Ciphertext],
 def merge_ciphers(ctx: CkksContext, cts: List[Ciphertext], dimension: int) -> List[Ciphertext]:
     """Merge many ciphertexts' every-dimension-th slots into few dense
     ciphertexts, order preserving (reference mergeCiphers,
-    src/openFHE_wrapper.cpp:191-218)."""
+    src/openFHE_wrapper.cpp:191-218).  The output-packing rotations sum
+    one noise term per input ciphertext into every slot, so they run at
+    the deferred (pre-rescale) scale; the pending rescales land on the
+    few packed outputs instead."""
     batch = ctx.slots
     per = batch // dimension
     out_n = math.ceil(per * len(cts) / batch)
-    merged = _batched(ctx, lambda c: merge_single(ctx, c, dimension), cts)
+    pend = [0]
+
+    def one(c):
+        out, p = merge_single(ctx, c, dimension, defer=True)
+        pend[0] = p
+        return out
+
+    merged = _batched(ctx, one, cts)
     if len(merged) == 1:
-        return merged
-    amounts = [-(per * i) % batch for i in range(len(merged))]
-    out_idx = [(per * i) // batch for i in range(len(merged))]
-    return _rotate_and_pack(ctx, merged, amounts, out_idx, out_n)
+        outs = merged
+    else:
+        amounts = [-(per * i) % batch for i in range(len(merged))]
+        out_idx = [(per * i) // batch for i in range(len(merged))]
+        outs = _rotate_and_pack(ctx, merged, amounts, out_idx, out_n)
+    done = []
+    for o in outs:
+        for _ in range(pend[0]):
+            o = ctx.rescale(o)
+        done.append(o)
+    return done
 
 
 def compress_ciphers(ctx: CkksContext, cts: List[Ciphertext], dimension: int) -> List[Ciphertext]:
@@ -114,13 +148,15 @@ def compress_ciphers(ctx: CkksContext, cts: List[Ciphertext], dimension: int) ->
     maskv[::dimension] = 1.0
 
     def mask_one(c: Ciphertext) -> Ciphertext:
+        # rescale deferred past the packing rotations (see merge_ciphers)
         m = ctx.encode_cached(("compress_mask", dimension), maskv, c.limbs, ctx.params.scale)
-        return ctx.rescale(ctx.mul_plain(c, m))
+        return ctx.mul_plain(c, m)
 
     masked = _batched(ctx, mask_one, cts)
     if len(masked) == 1:
-        return masked
+        return [ctx.rescale(masked[0])]
     batch = ctx.slots
     amounts = [-(i % dimension) % batch for i in range(len(masked))]
     out_idx = [i // dimension for i in range(len(masked))]
-    return _rotate_and_pack(ctx, masked, amounts, out_idx, out_n)
+    outs = _rotate_and_pack(ctx, masked, amounts, out_idx, out_n)
+    return [ctx.rescale(o) for o in outs]

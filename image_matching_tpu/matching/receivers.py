@@ -130,6 +130,24 @@ class BlindReceiver(HersReceiver):
                     out.append(idx)
         return sorted(out)
 
+    def decrypt_scores(self, cts: Sequence[Ciphertext]) -> np.ndarray:
+        """Scores in vector order: invert the compression permutation
+        (slot j of ciphertext i holds the score of vector
+        i*batch + j//cl + (j%cl)*spb — reference receiver_blind.cpp:28-54),
+        so parity checks compare like with like."""
+        batch = self.ctx.slots
+        cl = self.cfg.chunk_len
+        spb = batch // cl
+        j = np.arange(batch)
+        order = j // cl + (j % cl) * spb  # slot -> vector offset
+        outs = []
+        for ct in cts:
+            vals = np.asarray(self.ctx.decrypt(ct))
+            inv = np.empty(batch, vals.dtype)
+            inv[order] = vals
+            outs.append(inv)
+        return np.concatenate(outs)
+
 
 def make_receiver(approach: int, ctx: CkksContext, cfg: MatchConfig,
                   num_vectors: int) -> HersReceiver:

