@@ -27,6 +27,8 @@ import time
 
 # must precede any jax import
 os.environ["JAX_PLATFORMS"] = "cpu"  # override: the env pins axon (TPU)
+import jax  # noqa: E402 — sitecustomize may have pre-imported jax
+jax.config.update("jax_platforms", "cpu")  # with the axon backend registered
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
