@@ -38,14 +38,31 @@ import numpy as np
 _T0 = float(os.environ.get("IMTPU_BENCH_T0") or time.time())
 os.environ.setdefault("IMTPU_BENCH_T0", repr(_T0))
 
-# Reference HyDia seconds by log2(DB size) — BASELINE.md table
-# (tools/figures/approach5.csv: membership / identification).
-REF_MEMBERSHIP = {10: 5.89, 11: 4.46, 12: 4.54, 13: 4.49, 14: 4.52,
-                  15: 6.16, 16: 9.56, 17: 16.01, 18: 28.73, 19: 53.25,
-                  20: 102.41}
-REF_INDEX = {10: 4.68, 11: 4.19, 12: 4.20, 13: 4.35, 14: 4.18,
-             15: 5.85, 16: 9.01, 17: 15.47, 18: 27.63, 19: 49.70,
-             20: 96.52}
+# Reference seconds by (approach, log2n) — BASELINE.md table
+# (tools/figures/approach{1..5}.csv: membership / identification).
+APPROACH_NAMES = {1: "baseline", 2: "grote", 3: "blind", 4: "hers",
+                  5: "hydia"}
+REF = {
+    (1, 10): (11.53, 11.35), (1, 11): (17.10, 16.84),
+    (1, 12): (35.86, 35.58), (1, 13): (64.59, 64.22),
+    (1, 14): (133.76, 135.78), (1, 15): (264.69, 265.53),
+    (2, 10): (17.45, 20.64), (2, 11): (25.18, 28.30),
+    (2, 12): (48.68, 50.74), (2, 13): (89.65, 92.06),
+    (2, 14): (175.18, 176.00), (2, 15): (338.36, 336.71),
+    (3, 10): (8.50, 8.14), (3, 11): (12.97, 12.80),
+    (3, 12): (22.00, 21.04), (3, 13): (40.08, 39.51),
+    (3, 14): (79.66, 79.95), (3, 15): (161.15, 161.19),
+    (4, 10): (4.28, 3.46), (4, 11): (4.17, 3.49), (4, 12): (4.13, 3.46),
+    (4, 13): (4.17, 3.28), (4, 14): (4.17, 3.47), (4, 15): (6.21, 5.37),
+    (4, 16): (9.84, 9.11), (4, 17): (16.99, 15.84),
+    (4, 18): (30.97, 28.77), (4, 19): (58.15, 54.03),
+    (4, 20): (115.54, 110.91),
+    (5, 10): (5.89, 4.68), (5, 11): (4.46, 4.19), (5, 12): (4.54, 4.20),
+    (5, 13): (4.49, 4.35), (5, 14): (4.52, 4.18), (5, 15): (6.16, 5.85),
+    (5, 16): (9.56, 9.01), (5, 17): (16.01, 15.47),
+    (5, 18): (28.73, 27.63), (5, 19): (53.25, 49.70),
+    (5, 20): (102.41, 96.52),
+}
 
 _BEST = {}  # best-so-far result; printed exactly once at exit
 
@@ -155,7 +172,6 @@ def _reexec(why: str, abort_check=None):
         _emit_and_exit(3)
     print(f"# {why}; re-exec attempt {attempt + 1}", file=sys.stderr,
           flush=True)
-    os.environ["IMTPU_BENCH_ATTEMPT"] = str(attempt + 1)
     # let the terminal fully drain the dying client's buffers — claiming
     # too early yields a session that wedges again under heavy DMA
     time.sleep(150)
@@ -165,6 +181,9 @@ def _reexec(why: str, abort_check=None):
         print("# re-exec aborted: progress resumed / result recorded "
               "during drain sleep", file=sys.stderr, flush=True)
         return
+    # counted only when the re-exec actually happens, so an aborted
+    # (progress-resumed) stall never consumes one of the 5 attempts
+    os.environ["IMTPU_BENCH_ATTEMPT"] = str(attempt + 1)
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
@@ -226,6 +245,7 @@ def _run_scenario():
     log2n = int(os.environ.get("BENCH_LOG2N", "20"))
     ring = int(os.environ.get("BENCH_RING", "32768"))
     scenario = os.environ.get("BENCH_SCENARIO", "membership")
+    approach = int(os.environ.get("BENCH_APPROACH", "5"))
     n = 1 << log2n
     # streamed (host-RAM seed-compressed DB) once the encrypted DB would
     # crowd HBM; overridable with BENCH_STREAM=0/1
@@ -240,7 +260,7 @@ def _run_scenario():
     from image_matching_tpu.utils import io as dio
 
     cfg = MatchConfig()
-    depth = compute_required_depth(5, cfg.comp_depth, cfg.alpha_depth)
+    depth = compute_required_depth(approach, cfg.comp_depth, cfg.alpha_depth)
     params = SchemeParams.create(
         ring_dim=ring, mult_depth=depth,
         security="128c" if ring >= 32768 else "none",
@@ -250,7 +270,7 @@ def _run_scenario():
 
     t0 = time.time()
     wd = _start_stall_watchdog() if streamed else {"on": False}
-    proto = MatchingProtocol.setup(5, db, cfg, params=params, seed=0,
+    proto = MatchingProtocol.setup(approach, db, cfg, params=params, seed=0,
                                    streamed=streamed,
                                    **({"verbose": True} if streamed else {}))
     wd["on"] = False
@@ -262,8 +282,8 @@ def _run_scenario():
     qcts = proto.encrypt_query(query)
     jax.block_until_ready([c.data for c in qcts])
 
-    ref = REF_INDEX.get(log2n) if scenario == "index" else \
-        REF_MEMBERSHIP.get(log2n)
+    pair = REF.get((approach, log2n))
+    ref = (pair[1] if scenario == "index" else pair[0]) if pair else None
 
     def run():
         if scenario == "index":
@@ -279,7 +299,8 @@ def _run_scenario():
         among runs of equal correctness, keep the fastest.  Correctness is
         a separate field (never folded into the metric name) so keep-best
         matching can't silently clear a wrong-result flag."""
-        metric = f"hydia_{scenario}_2^{log2n}_server_compute"
+        metric = (f"{APPROACH_NAMES[approach]}_{scenario}"
+                  f"_2^{log2n}_server_compute")
         if _BEST.get("metric") == metric:
             cur_ok = bool(_BEST.get("correct", False))
             if (cur_ok and not ok) or (cur_ok == ok

@@ -109,14 +109,28 @@ def _query_counts(proto: MatchingProtocol, query: np.ndarray, qid: int,
                 counts[kind][2] += 1
             else:
                 counts[kind][3] += 1
-    return {"counts": counts, "max_err": max_err}
+    # near-threshold census: entries whose plaintext cosine lies within
+    # +-0.06 of the match threshold are the ones the hybrid sign
+    # approximation actually has to get right (the encrypted analog of the
+    # reference's signApprox.csv validation); report how many there are
+    # and on how many encrypted and plaintext DECISIONS differ
+    near = np.abs(sims - cfg.match_threshold) <= 0.06
+    near_idx = set(np.nonzero(near)[0].tolist())
+    disagree = enc_matches.symmetric_difference(plain_matches)
+    return {"counts": counts, "max_err": max_err,
+            "near_count": int(near.sum()),
+            "near_disagree": len(disagree & near_idx),
+            "disagree": len(disagree),
+            "near_margin_min": (float(np.abs(sims[near]
+                                             - cfg.match_threshold).min())
+                                if near.any() else None)}
 
 
 def run(query_idx: int, approach: int, csv_path: str = "accuracy.csv",
         ring_dim: int = 32768, vector_dim: int = 512, n_ids: int = 64,
         per_id: int = 4, seed: int = 0, scale_bits: int = 30,
         n_queries: Optional[int] = None, parity: bool = False,
-        streamed: bool = False,
+        streamed: bool = False, borderline: int = 0,
         db_file: Optional[str] = None, query_file: Optional[str] = None,
         dbid_file: Optional[str] = None, qid_file: Optional[str] = None) -> list:
     """Run one query (query_idx) or a sweep (n_queries set): enroll once,
@@ -129,7 +143,7 @@ def run(query_idx: int, approach: int, csv_path: str = "accuracy.csv",
     else:
         db, db_ids, queries, q_ids = dio.gen_identity_dataset(
             n_ids, per_id, max(n_queries or 0, query_idx + 1), vector_dim,
-            seed=seed)
+            seed=seed, borderline=borderline)
 
     proto = _build_protocol(approach, db, cfg, ring_dim, scale_bits, seed,
                             streamed=streamed)
@@ -147,10 +161,17 @@ def run(query_idx: int, approach: int, csv_path: str = "accuracy.csv",
             "plain_tp": counts["plain"][0], "plain_fn": counts["plain"][1],
             "plain_tn": counts["plain"][2], "plain_fp": counts["plain"][3],
             "max_score_err": res["max_err"],
+            "near_count": res["near_count"],
+            "near_disagree": res["near_disagree"],
+            "disagree": res["disagree"],
+            "near_margin_min": res["near_margin_min"],
         }
         rows.append(row)
         msg = (f"query {qi} (id {qid}): encrypted TP/FN/TN/FP = "
                f"{counts['enc']}  plaintext = {counts['plain']}")
+        if res["near_count"]:
+            msg += (f"  near-threshold: {res['near_count']} entries, "
+                    f"{res['near_disagree']} enc/plain disagreements")
         if parity:
             ok = "OK" if res["max_err"] <= 1e-4 else "FAIL"
             msg += f"  score parity max|err| = {res['max_err']:.2e} [{ok}]"
@@ -182,6 +203,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--parity", action="store_true",
                     help="also check encrypted-vs-plaintext scores at 1e-4")
+    ap.add_argument("--borderline", type=int, default=0,
+                    help="planted cross-identity entries per query with "
+                         "cosine in [0.38, 0.50] (straddles the 0.44 "
+                         "threshold; exercises the sign approximation)")
     ap.add_argument("--streamed", action="store_true",
                     help="seed-compressed streamed DB store (c0-only; "
                          "fits FRGC-scale DBs next to the compare "
@@ -194,7 +219,7 @@ def main():
     run(args.query_idx, args.approach, args.csv, args.ring_dim,
         args.vector_dim, args.n_ids, args.per_id, seed=args.seed,
         scale_bits=args.scale_bits, n_queries=args.all, parity=args.parity,
-        streamed=args.streamed,
+        streamed=args.streamed, borderline=args.borderline,
         db_file=args.db_file, query_file=args.query_file,
         dbid_file=args.dbid_file, qid_file=args.qid_file)
 

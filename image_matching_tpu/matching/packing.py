@@ -62,6 +62,12 @@ def merge_single(ctx: CkksContext, ct: Ciphertext, dimension: int,
     m = merge_mask(ctx, dimension, output_size, ct.limbs, ctx.params.scale)
     ct = ctx.mul_plain(ct, m)
     pending += 1
+    # guard future call sites: every current caller has dimension >=
+    # sqrt(slots) so pending stays <= 2; a smaller dimension would grow the
+    # accumulated scale s*Delta^pending past the modulus headroom unchecked
+    assert pending <= 2, (
+        f"merge_single accumulated {pending} deferred rescales "
+        f"(dimension {dimension} < sqrt(slots)); rescale earlier")
     if defer:
         return ct, pending
     for _ in range(pending):

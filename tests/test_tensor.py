@@ -1,6 +1,7 @@
-"""Tensor parallelism inside one ciphertext: slot- and limb-sharded CKKS
-ops must produce bit-identical results to the single-device path (XLA's
-SPMD partitioner supplies the collectives; parallel/tensor.py)."""
+"""Tensor parallelism inside one ciphertext: slot-sharded CKKS ops must
+produce bit-identical results to the single-device path (XLA's SPMD
+partitioner supplies the collectives; parallel/tensor.py).  The limb-axis
+mode was deleted in round 5 (it replicated at production limb counts)."""
 
 import numpy as np
 import pytest
@@ -17,7 +18,6 @@ RING = 512
 
 @pytest.fixture(scope="module")
 def ctx():
-    # mult_depth 5 -> 8 fresh limbs: divisible by the 4-device limb mesh
     params = SchemeParams.create(ring_dim=RING, mult_depth=5, security="none")
     c = CkksContext(params, seed=12)
     c.gen_power_of_two_rotation_keys()
@@ -25,9 +25,8 @@ def ctx():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multiple devices")
-@pytest.mark.parametrize("shard", ["slot", "limb"])
-def test_tp_ntt_matches_single(ctx, shard):
-    tp = TensorParallel(ctx, make_tp_mesh(4), shard=shard)
+def test_tp_ntt_matches_single(ctx):
+    tp = TensorParallel(ctx, make_tp_mesh(4))
     lim = ctx.q_limbs(4)
     rng = np.random.default_rng(0)
     qs = np.asarray([int(ctx.q_np[i]) for i in lim])[:, None]
@@ -44,8 +43,7 @@ def test_tp_ntt_matches_single(ctx, shard):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multiple devices")
-@pytest.mark.parametrize("shard", ["slot", "limb"])
-def test_tp_ctmult_rotate_sum_match_single(ctx, shard):
+def test_tp_ctmult_rotate_sum_match_single(ctx):
     rng = np.random.default_rng(1)
     va = rng.uniform(-1, 1, ctx.slots)
     vb = rng.uniform(-1, 1, ctx.slots)
@@ -55,7 +53,7 @@ def test_tp_ctmult_rotate_sum_match_single(ctx, shard):
     srot = ctx.binary_rotate(single, 3)
     ssum = ctx.eval_sum(single, 8)
 
-    tp = TensorParallel(ctx, make_tp_mesh(4), shard=shard)
+    tp = TensorParallel(ctx, make_tp_mesh(4))
     ta, tb = tp.shard_ct(a), tp.shard_ct(b)
     tprod = tp.mul_relin_rescale(ta, tb)
     trot = tp.rotate(tprod, 3)

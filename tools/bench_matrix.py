@@ -21,12 +21,23 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 # (approach, log2n) -> (membership_s, index_s) from BASELINE.md
+# (reference tools/figures/approach{1..5}.csv, full columns)
 REF = {
-    (1, 10): (11.53, 11.35), (1, 12): (35.86, 35.58), (1, 14): (133.76, 135.78),
-    (2, 10): (17.45, 20.64), (2, 12): (48.68, 50.74), (2, 14): (175.18, 176.00),
-    (3, 10): (8.50, 8.14), (3, 12): (22.00, 21.04), (3, 14): (79.66, 79.95),
-    (4, 10): (4.28, 3.46), (4, 12): (4.13, 3.46), (4, 14): (4.17, 3.47),
-    (5, 10): (5.89, 4.68), (5, 12): (4.54, 4.20), (5, 13): (4.49, 4.35),
+    (1, 10): (11.53, 11.35), (1, 11): (17.10, 16.84),
+    (1, 12): (35.86, 35.58), (1, 13): (64.59, 64.22),
+    (1, 14): (133.76, 135.78), (1, 15): (264.69, 265.53),
+    (2, 10): (17.45, 20.64), (2, 11): (25.18, 28.30),
+    (2, 12): (48.68, 50.74), (2, 13): (89.65, 92.06),
+    (2, 14): (175.18, 176.00), (2, 15): (338.36, 336.71),
+    (3, 10): (8.50, 8.14), (3, 11): (12.97, 12.80),
+    (3, 12): (22.00, 21.04), (3, 13): (40.08, 39.51),
+    (3, 14): (79.66, 79.95), (3, 15): (161.15, 161.19),
+    (4, 10): (4.28, 3.46), (4, 11): (4.17, 3.49), (4, 12): (4.13, 3.46),
+    (4, 13): (4.17, 3.28), (4, 14): (4.17, 3.47), (4, 15): (6.21, 5.37),
+    (4, 16): (9.84, 9.11), (4, 17): (16.99, 15.84), (4, 18): (30.97, 28.77),
+    (4, 19): (58.15, 54.03), (4, 20): (115.54, 110.91),
+    (5, 10): (5.89, 4.68), (5, 11): (4.46, 4.19), (5, 12): (4.54, 4.20),
+    (5, 13): (4.49, 4.35),
     (5, 14): (4.52, 4.18), (5, 15): (6.16, 5.85), (5, 16): (9.56, 9.01),
     (5, 17): (16.01, 15.47), (5, 18): (28.73, 27.63), (5, 19): (53.25, 49.70),
     (5, 20): (102.41, 96.52),
@@ -57,7 +68,8 @@ def run_one(approach: int, log2n: int, ring: int, streamed: bool) -> dict:
     query, db = dio.gen_dataset(1 << log2n, cfg.vector_dim, seed=0)
     t0 = time.time()
     proto = MatchingProtocol.setup(approach, db, cfg, params=params, seed=0,
-                                   streamed=streamed)
+                                   streamed=streamed,
+                                   **({"verbose": True} if streamed else {}))
     enroll_s = time.time() - t0
     del db
     t0 = time.time()
@@ -116,11 +128,35 @@ def main():
                     help="comma list of approach:log2n")
     ap.add_argument("--ring", type=int, default=32768)
     ap.add_argument("--out", default="docs/results/bench_matrix.jsonl")
+    ap.add_argument("--timeout", type=float, default=5400,
+                    help="per-point wall clock (subprocess mode)")
+    ap.add_argument("--in-process", action="store_true",
+                    help="run points in this process (child mode)")
     args = ap.parse_args()
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
 
-    for spec in args.configs.split(","):
-        a, n = (int(x) for x in spec.strip().split(":"))
+    specs = [s.strip() for s in args.configs.split(",") if s.strip()]
+    if not args.in_process and len(specs) > 1:
+        # one subprocess per matrix point: HBM/host-RAM residue from a
+        # previous point (jit executables, lingering stores) otherwise
+        # accumulates and OOMs mid-matrix (round-4 A5@2^17 failure)
+        import subprocess
+        for spec in specs:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--configs", spec, "--ring", str(args.ring),
+                   "--out", args.out, "--in-process"]
+            try:
+                subprocess.run(cmd, timeout=args.timeout, check=False)
+            except subprocess.TimeoutExpired:
+                a, n = (int(x) for x in spec.split(":"))
+                row = {"approach": a, "log2n": n,
+                       "error": f"timeout after {args.timeout:.0f}s"}
+                with open(args.out, "a") as f:
+                    f.write(json.dumps(row) + "\n")
+        return
+
+    for spec in specs:
+        a, n = (int(x) for x in spec.split(":"))
         streamed = a in (4, 5) and n >= 16
         print(f"=== approach {a} @ 2^{n} (streamed={streamed}) ===",
               flush=True)

@@ -64,6 +64,15 @@ def main():
             )
     print(f"-> {args.csv} ({len(latest)} rows)")
 
+    # self-explanatory view of the append-only matrix: latest row per
+    # (approach, log2n), superseded/error rows dropped — so a reader of
+    # docs/results/ does not have to reconstruct which rows are current
+    clean = args.matrix.replace(".jsonl", "_clean.jsonl")
+    with open(clean, "w") as f:
+        for (a, n), r in sorted(latest.items()):
+            f.write(json.dumps(r) + "\n")
+    print(f"-> {clean}")
+
     figures.generate(args.csv, args.outdir)
     figures.sign_approx_table(os.path.join(args.outdir, "sign_approx.csv"))
     figures.sign_approx_plot(os.path.join(args.outdir, "sign_approx.png"))

@@ -51,6 +51,8 @@ def main():
     params = SchemeParams.create(ring_dim=args.ring, mult_depth=14,
                                  security="128c" if args.ring >= 32768 else "none")
     ctx = CkksContext(params, seed=0)
+    ctx.gen_power_of_two_rotation_keys()
+    ctx.gen_rotation_keys(list(range(1, 23)), force=True)
     l = ctx.Lq
     N = ctx.n
     B = args.batch
@@ -64,14 +66,28 @@ def main():
     results = {"device_kind": kind, "hbm_peak_GBs": peak, "ring": args.ring,
                "limbs": int(l), "batch": B, "kernels": {}}
 
+    def _save():
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
     def timed(name, fn, *xs, bytes_touched=None):
-        jf = jax.jit(fn)
-        out = jax.block_until_ready(jf(*xs))
-        t0 = time.time()
-        for _ in range(args.reps):
-            out = jf(*xs)
-        jax.block_until_ready(out)
-        dt = (time.time() - t0) / args.reps
+        """Per-kernel timing; a failing kernel (e.g. a remote-compile drop
+        on a very large module) records an error row instead of killing
+        the whole artifact.  Results are persisted after every kernel."""
+        try:
+            jf = jax.jit(fn)
+            out = jax.block_until_ready(jf(*xs))
+            t0 = time.time()
+            for _ in range(args.reps):
+                out = jf(*xs)
+            jax.block_until_ready(out)
+            dt = (time.time() - t0) / args.reps
+        except Exception as e:
+            results["kernels"][name] = {"error": f"{type(e).__name__}: {e}"}
+            print(name, "ERROR", e, flush=True)
+            _save()
+            return None
         row = {"ms": round(dt * 1e3, 3)}
         if bytes_touched:
             gbs = bytes_touched / dt / 1e9
@@ -79,6 +95,7 @@ def main():
             row["pct_of_hbm_peak"] = round(100 * gbs / peak, 1)
         results["kernels"][name] = row
         print(name, row, flush=True)
+        _save()
         return out
 
     lim = ctx.q_limbs(l)
@@ -133,17 +150,42 @@ def main():
     timed("hoisted_rotate_22", hoist, state, ct2[0],
           bytes_touched=22 * 2 * l * N * 4 * 2)
 
+    # compare runs on a production-shaped score: one relin+rescale below
+    # fresh level, scale tracked exactly (a fresh-scale input desyncs the
+    # Paterson-Stockmeyer level planner)
+    box = [None]
+    ncmp = 4  # small enough that the vmapped deg-59 module compiles
+    # reliably through the remote compile helper; per-score cost is what
+    # the roofline needs (production chunks of 16 amortize dispatch only)
+    # 16 independent scores: ct_dot CONTRACTS its leading axis, so build
+    # each score from its own 4-ct group
+    grp = ct2.reshape(ncmp, B // ncmp, *ct2.shape[1:])
+
+    def scores_like(s, x):
+        with ctx.bound_state(s):
+            return jax.vmap(lambda g: score_like_inner(g))(x)
+
+    def score_like_inner(g):
+        t3 = ct_dot(ctx, g, g)
+        ct = ctx.rescale_score(
+            ctx.relinearize(Ciphertext(t3, ctx.fresh_scale ** 2)))
+        box[0] = ct.scale
+        return ct.data
+
+    sc = jax.block_until_ready(jax.jit(scores_like)(state, grp))
+
     def compare(s, x):
         with ctx.bound_state(s):
             from image_matching_tpu.ckks import poly_eval
-            return poly_eval.chebyshev_compare(
-                ctx, Ciphertext(x, ctx.fresh_scale), 0.44, 10).data
 
-    timed("chebyshev_compare_d10", compare, state, ct2[0])
+            def one(d):
+                return poly_eval.chebyshev_compare(
+                    ctx, Ciphertext(d, box[0]), 0.44, 10).data
+            return jax.vmap(one)(x)
 
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
+    timed(f"chebyshev_compare_d10[{ncmp}]", compare, state, sc)
+
+    _save()
     print(f"-> {args.out}")
 
 

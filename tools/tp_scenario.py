@@ -68,7 +68,11 @@ def main():
     t1, single = timed(lambda: proto.sender.run_membership(qcts), args.reps)
     assert proto.decrypt_membership(single) is True
 
-    tp = TPScenario(proto.sender, make_tp_mesh(8))
+    # clamp to what the backend actually exposes: if the device-count flag
+    # landed after backend init (sitecustomize imported jax first), an
+    # unconditional 8-device mesh would crash (advisor r4; cf. scaling.py)
+    n_dev = min(8, len(jax.devices()))
+    tp = TPScenario(proto.sender, make_tp_mesh(n_dev))
     t8, sharded = timed(lambda: tp.membership(qcts), args.reps)
     bit_exact = bool(
         np.array_equal(np.asarray(single.data), np.asarray(sharded.data)))
@@ -78,7 +82,8 @@ def main():
         "scenario": "approach-5 membership, full pipeline",
         "ring": args.ring, "dim": args.dim, "nvec": args.nvec,
         "single_device_s": round(t1, 4),
-        "slot_tp_8dev_s": round(t8, 4),
+        "tp_devices": n_dev,
+        "slot_tp_sharded_s": round(t8, 4),
         "bit_exact": bit_exact,
         "note": (
             "8 virtual CPU devices share the host cores, so the sharded "
