@@ -363,6 +363,17 @@ def enroll_hers_streamed(ctx: CkksContext, cfg: MatchConfig, db: np.ndarray,
         full[: rows.shape[0]] = rows
         return np.ascontiguousarray(full.T)  # [dim, batch]: feature-major
 
+    if resident_budget is None:
+        # the HERS query is `dim` full ciphertexts (reference
+        # receiver_hers.cpp:13-24): the caller keeps the 512 individual
+        # ciphertexts alive across both scenarios AND the sender stacks
+        # them into one [dim, 2, l, N] array — together ~8x one group's
+        # c0 bytes.  The generic budget reserve does not know the layout,
+        # so carve that out here; without it the 2^20 run OOMs right
+        # after enrollment (round-4 verdict item 1 risk, observed).
+        gbytes = dim * ctx.Lq * ctx.n * 4
+        resident_budget = max(0, _hbm_budget_bytes(ctx) - 8 * gbytes)
+
     return _enroll_streamed(ctx, cfg, db, store, vals_fn,
                             cache_extra=(False, 0), seed=seed,
                             resident_budget=resident_budget, engine=engine,
@@ -659,6 +670,53 @@ class _StreamedSender(Sender):
         scores = jnp.stack(outs) if G > 1 else outs[0][None]
         return scores, meta["scale"]
 
+    def _stream_and_compare(self, query: List[Ciphertext], thr: float):
+        """Stream groups through the similarity segment AND dispatch the
+        compare segment per chunk of scores inside the same loop.
+
+        The kernel roofline (docs/results/kernel_bench.json) shows the
+        2^20 flagship splits between pinned-host->HBM DMA (~5.5 s) and
+        the compare circuit (~5.1 s); running compare only after the last
+        group has streamed serializes the two.  Dispatching each compare
+        chunk as soon as its scores exist lets the compare kernels fill
+        the DMA-bound gaps: the next groups' h2d copies (issued before
+        the compare dispatch) proceed on the copy engine while the VPU
+        runs the sign approximation.  Same math, same jit segments, same
+        chunk shapes (compile-cache hits); only the dispatch order moves.
+
+        Returns (flag stack [G, 2, l'', N], flag scale)."""
+        import os
+        ctx = self.ctx
+        Q = self._query_stack(query)
+        fn, meta = self._group_segment()
+        state = ctx.device_state()
+        dev = jax.devices()[0]
+        G = self.store.num_groups
+        chunk = int(os.environ.get("IMTPU_COMPARE_CHUNK", "16"))
+        dev_sh = _device_sharding(dev)
+
+        def fetch(g):
+            grp = self.store.groups[g]
+            if _on_device(grp, dev):
+                return grp
+            return jax.device_put(grp, dev_sh)
+
+        nxt = fetch(0)
+        outs, flags, fscale = [], [], None
+        for g in range(G):
+            cur, nxt = nxt, (fetch(g + 1) if g + 1 < G else None)
+            outs.append(fn(state, Q, cur, jnp.uint32(g)))
+            del cur
+            _beat()
+            if len(outs) == chunk or g == G - 1:
+                sstack = jnp.stack(outs) if len(outs) > 1 else outs[0][None]
+                f, fscale = self._compare_segments(sstack, meta["scale"], thr)
+                flags.append(f)
+                outs = []
+        fstack = (jnp.concatenate(flags, axis=0) if len(flags) > 1
+                  else flags[0])
+        return fstack, fscale
+
     # -- scenario entry points -------------------------------------------
 
     def compute_similarity(self, query: List[Ciphertext]) -> List[Ciphertext]:
@@ -666,16 +724,14 @@ class _StreamedSender(Sender):
         return [Ciphertext(sdata[i], scale) for i in range(sdata.shape[0])]
 
     def run_membership(self, query_cts: List[Ciphertext]) -> Ciphertext:
-        sdata, scale = self._similarity_stream(query_cts)
-        fstack, fscale = self._compare_segments(
-            sdata, scale, self.cfg.match_threshold)
+        fstack, fscale = self._stream_and_compare(
+            query_cts, self.cfg.match_threshold)
         data, meta = self._reduce_segment(fstack, fscale)
         return Ciphertext(data, meta["scale"])
 
     def run_index(self, query_cts: List[Ciphertext]) -> List[Ciphertext]:
-        sdata, scale = self._similarity_stream(query_cts)
-        fstack, fscale = self._compare_segments(
-            sdata, scale, self.cfg.match_threshold)
+        fstack, fscale = self._stream_and_compare(
+            query_cts, self.cfg.match_threshold)
         return [Ciphertext(fstack[i], fscale) for i in range(fstack.shape[0])]
 
 
