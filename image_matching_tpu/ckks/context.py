@@ -993,6 +993,17 @@ class CkksContext:
         q, _ = self._qrow(self.q_limbs(l))
         return Ciphertext(jnp.stack([mm.mod_add(c0, d0, q), d1]), x.scale)
 
+    def rotate_any(self, x: Ciphertext, r: int) -> Ciphertext:
+        """One direct keyswitch when a key for exactly r exists (e.g. the
+        merge-chain amounts requested via Sender.required_rotations),
+        else the signed power-of-two decomposition — halves the keyswitch
+        count of merge_single's rotate-add chain."""
+        if r % self.slots == 0:
+            return x
+        if self.rotation_galois(r) in self.rot_keys:
+            return self.rotate(x, r)
+        return self.binary_rotate(x, r)
+
     def binary_rotate(self, x: Ciphertext, r: int) -> Ciphertext:
         """Arbitrary rotation via signed nearest-power-of-two steps using
         only ±2^k keys (reference binaryRotate,

@@ -20,6 +20,20 @@ import jax.numpy as jnp
 from ..ckks.context import CkksContext, Ciphertext
 
 
+def merge_chain_rotations(slots: int, dimension: int) -> List[int]:
+    """Rotation amounts of merge_single's doubling chain for `dimension`
+    ((dimension-1)*2^j, reference mergeSingleCipher's rotationFactor loop)
+    — senders request direct keys for these via required_rotations so each
+    chain step is ONE keyswitch instead of a signed binary decomposition."""
+    out = []
+    output_size = slots // dimension
+    i = 1
+    while i < output_size:
+        out.append((dimension - 1) * i)
+        i *= 2
+    return out
+
+
 def merge_mask(ctx: CkksContext, dimension: int, segment: int, limbs: int,
                scale: float):
     """Mask with `segment` ones every dimension*segment slots (reference
@@ -57,7 +71,7 @@ def merge_single(ctx: CkksContext, ct: Ciphertext, dimension: int,
             ct = ctx.mul_plain(ct, m)
             pending += 1
             padding = i * dimension
-        ct = ctx.add(ct, ctx.binary_rotate(ct, rot_factor * i))
+        ct = ctx.add(ct, ctx.rotate_any(ct, rot_factor * i))
         i *= 2
     m = merge_mask(ctx, dimension, output_size, ct.limbs, ctx.params.scale)
     ct = ctx.mul_plain(ct, m)
@@ -112,6 +126,63 @@ def _rotate_and_pack(ctx: CkksContext, cts: List[Ciphertext],
     return [Ciphertext(d, cts[0].scale) for d in datas]
 
 
+def _tree_pack(ctx: CkksContext, cts: List[Ciphertext],
+               step: int, out_n: int) -> List[Ciphertext]:
+    """Pack rows whose target amounts follow the uniform pattern
+    amounts[i] = -(step*i) mod slots, out_idx[i] = (step*i)//slots — the
+    merge/alpha layout — via a pairwise combine tree:
+
+        T^(l+1)_j = T^(l)_{2j} + rot(T^(l)_{2j+1}, -step*2^l)
+
+    Each level is ONE fixed-amount keyswitch over a halving stack, and
+    every level amount step*2^l is a power of two (step = slots/dimension
+    is a power of two), so the existing +-2^k keys cover it.  Total
+    keyswitch work is R-1 single-row equivalents vs the bit-staged
+    rotate_rows_binary's ~log2(slots/step)*R — ~9x less at R=128 — and
+    each original row still receives exactly popcount(position) rotation
+    keyswitches, the same noise budget as its binary-decomposed amount.
+    """
+    from ..ops import modmath as mm
+
+    batch = ctx.slots
+    data = jnp.stack([c.data for c in cts])
+    R = data.shape[0]
+    gsz = batch // step  # rows per output ciphertext
+    pad = out_n * gsz - R
+    if pad:
+        # zero rows are exact encryptions of 0: rotations and adds keep
+        # them inert, so short tails cost only wasted lanes
+        data = jnp.concatenate(
+            [data, jnp.zeros((pad,) + data.shape[1:], data.dtype)])
+    q, _ = ctx._qrow(ctx.q_limbs(data.shape[-2]))
+    cur = data.reshape(out_n, gsz, *data.shape[1:])
+    lvl = 0
+    while cur.shape[1] > 1:
+        even = cur[:, 0::2]
+        odd = cur[:, 1::2]
+        # move the odd subtree RIGHT by step*2^l slots = left-rotate by
+        # its negative; step*2^l mod batch stays a power of two, so the
+        # standing -2^k rotation keys cover every level
+        s = (step << lvl) % batch
+        r = -s
+        if s:
+            g = ctx.rotation_galois(r)
+            _, key = ctx._rot_entry(g)
+            perm = ctx.plan.auto_perm(g)
+            flat = odd.reshape(-1, *data.shape[1:])
+
+            def one(d):
+                c0 = jnp.take(d[0], perm, axis=-1)
+                c1 = jnp.take(d[1], perm, axis=-1)
+                d0, d1 = ctx.keyswitch(c1, key)
+                return jnp.stack([mm.mod_add(c0, d0, q), d1])
+
+            odd = jax.vmap(one)(flat).reshape(odd.shape)
+        cur = mm.mod_add(even, odd, q)
+        lvl += 1
+    return [Ciphertext(cur[oc, 0], cts[0].scale) for oc in range(out_n)]
+
+
 def merge_ciphers(ctx: CkksContext, cts: List[Ciphertext], dimension: int) -> List[Ciphertext]:
     """Merge many ciphertexts' every-dimension-th slots into few dense
     ciphertexts, order preserving (reference mergeCiphers,
@@ -133,9 +204,7 @@ def merge_ciphers(ctx: CkksContext, cts: List[Ciphertext], dimension: int) -> Li
     if len(merged) == 1:
         outs = merged
     else:
-        amounts = [-(per * i) % batch for i in range(len(merged))]
-        out_idx = [(per * i) // batch for i in range(len(merged))]
-        outs = _rotate_and_pack(ctx, merged, amounts, out_idx, out_n)
+        outs = _tree_pack(ctx, merged, per, out_n)
     done = []
     for o in outs:
         for _ in range(pend[0]):

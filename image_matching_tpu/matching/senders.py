@@ -410,6 +410,12 @@ class BaseSender(Sender):
         super().__init__(ctx, cfg, db.num_vectors)
         self.db = db
 
+    def required_rotations(self) -> List[int]:
+        # direct keys for the merge chain: one keyswitch per step instead
+        # of the signed power-of-two decomposition (ctx.rotate_any)
+        return packing.merge_chain_rotations(self.ctx.slots,
+                                             self.cfg.vector_dim)
+
     def _raw_scores(self, query: List[Ciphertext]) -> List[Ciphertext]:
         ctx, dim = self.ctx, self.cfg.vector_dim
         qct = query[0]
@@ -444,6 +450,13 @@ class BaseSender(Sender):
 class GroteSender(BaseSender):
     """Approach 2 (reference src/sender/sender_grote.cpp): baseline scores
     + alpha-norm group testing over a near-square arrangement."""
+
+    def required_rotations(self) -> List[int]:
+        # base merge chain + the alpha-row merge chain (row_len dimension)
+        row_len = 2 ** math.ceil(math.log2(self.ctx.slots) / 2)
+        return sorted(set(
+            BaseSender.required_rotations(self)
+            + packing.merge_chain_rotations(self.ctx.slots, row_len)))
 
     def _alpha_squares(self, ct: Ciphertext) -> Ciphertext:
         ctx = self.ctx
@@ -504,14 +517,13 @@ class GroteSender(BaseSender):
         stacked = jnp.stack([s.data for s in scores])
         res = jax.vmap(one)(stacked) if len(scores) > 1 else one(stacked[0])[None]
         alist = [Ciphertext(res[i], box[0]) for i in range(len(scores))]
-        # pack alpha values consecutively (scanned batched rotate; the
-        # per-ciphertext binary_rotate loop blew up the compile graph)
+        # pack alpha values consecutively: uniform -(i*row_len) amounts ->
+        # pairwise combine tree, one fixed power-of-two keyswitch per
+        # level over a halving stack (packing._tree_pack)
         out_n = math.ceil(len(scores) * row_len / batch)
         if len(alist) == 1:
             return alist
-        amounts = [-(i * row_len) % batch for i in range(len(alist))]
-        out_idx = [(i * row_len) // batch for i in range(len(alist))]
-        return packing._rotate_and_pack(ctx, alist, amounts, out_idx, out_n)
+        return packing._tree_pack(ctx, alist, row_len, out_n)
 
     def membership_scenario(self, query: List[Ciphertext]) -> Ciphertext:
         ctx = self.ctx
