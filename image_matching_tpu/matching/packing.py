@@ -90,9 +90,13 @@ def merge_single(ctx: CkksContext, ct: Ciphertext, dimension: int,
 
 
 def _batched(ctx: CkksContext, fn, cts: List[Ciphertext]) -> List[Ciphertext]:
-    """vmap a single-ciphertext op over a list of same-shape ciphertexts."""
+    """vmap a single-ciphertext op over a list of same-shape ciphertexts,
+    with the width capped (lax.map batch_size) so the rotation-heavy
+    merge chains never hold a 512-wide stack of keyswitch temps at once
+    (compile-time HBM OOM at 2^14 — see senders._sim_chunk)."""
     if len(cts) == 1:
         return [fn(cts[0])]
+    from .senders import _sim_chunk
     scale = cts[0].scale
     stacked = jnp.stack([c.data for c in cts])
     out_scale = [None]
@@ -102,7 +106,11 @@ def _batched(ctx: CkksContext, fn, cts: List[Ciphertext]) -> List[Ciphertext]:
         out_scale[0] = out.scale
         return out.data
 
-    res = jax.vmap(body)(stacked)
+    chunk = _sim_chunk()
+    if len(cts) > chunk:
+        res = jax.lax.map(body, stacked, batch_size=chunk)
+    else:
+        res = jax.vmap(body)(stacked)
     return [Ciphertext(res[i], out_scale[0]) for i in range(len(cts))]
 
 

@@ -34,6 +34,14 @@ from .config import MatchConfig
 from .enrollers import BaseDB, BlindDB, DiagDB, HersDB
 
 
+def _sim_chunk() -> int:
+    """Width cap for batched per-ciphertext pipelines (raw scores, merge
+    chains): HLO temps scale with the vmap width, and 512-wide stacks at
+    2^14 exceed HBM at compile time.  Overridable via IMTPU_SIM_CHUNK."""
+    import os
+    return int(os.environ.get("IMTPU_SIM_CHUNK", "128"))
+
+
 def _mod_sum_rows(rows: jnp.ndarray, q) -> jnp.ndarray:
     """Sum a small stack of residue arrays mod q (row count is static)."""
     acc = rows[0]
@@ -439,7 +447,17 @@ class BaseSender(Sender):
         if B == 1:
             res = per_batch(self.db.data[0])[None]
         else:
-            res = jax.vmap(per_batch)(self.db.data)
+            # bounded-width batching: a flat vmap over 512 batch
+            # ciphertexts keeps every intermediate of the keyswitch-heavy
+            # EvalSum chain live at once (~29 GB HLO temps at 2^14,
+            # observed compile-time OOM); lax.map's batch_size sequences
+            # fixed-width chunks inside one jit, bounding temps to a
+            # chunk's worth while keeping the graph compact
+            chunk = _sim_chunk()
+            if B > chunk:
+                res = jax.lax.map(per_batch, self.db.data, batch_size=chunk)
+            else:
+                res = jax.vmap(per_batch)(self.db.data)
         return [Ciphertext(res[i], box[0]) for i in range(B)]
 
     def compute_similarity(self, query: List[Ciphertext]) -> List[Ciphertext]:
